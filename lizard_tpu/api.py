@@ -1,0 +1,39 @@
+"""Top-level one-shot API, mirroring the reference's public surface
+(lib/lizard_compress.h:99-198, lib/lizard_decompress.h:73-145,
+lib/lizard_frame.h:131-297) with Pythonic signatures.
+
+Backends:
+- "ref":  scalar oracle (always available, slow, bit-exact)
+- "jax":  batched JAX/Pallas path (default where available)
+"""
+
+from lizard_tpu.format.constants import LIZARD_DEFAULT_CLEVEL
+
+
+def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, backend: str = "ref") -> bytes:
+    """One-shot block-stream compression (Lizard_compress equivalent)."""
+    if backend == "ref":
+        from lizard_tpu.ref.block_encode import compress as _c
+        return _c(data, level)
+    raise NotImplementedError(backend)
+
+
+def decompress(data: bytes, max_out: int | None = None, backend: str = "ref") -> bytes:
+    """One-shot block-stream decompression (Lizard_decompress_safe)."""
+    if backend == "ref":
+        from lizard_tpu.ref.block_decode import decompress as _d
+        return _d(data, max_out)
+    if backend == "jax":
+        from lizard_tpu.ops.decode import decompress_jax
+        return decompress_jax(data, max_out)
+    raise NotImplementedError(backend)
+
+
+def compress_frame(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, **kw) -> bytes:
+    from lizard_tpu.frame import compress_frame as _cf
+    return _cf(data, level, **kw)
+
+
+def decompress_frame(data: bytes, **kw) -> bytes:
+    from lizard_tpu.frame import decompress_frame as _df
+    return _df(data, **kw)
