@@ -38,6 +38,12 @@ def _load():
                                            ctypes.c_int, ctypes.c_int]
     lib.Lizard_compressBound.restype = ctypes.c_int
     lib.Lizard_compressBound.argtypes = [ctypes.c_int]
+    lib.Lizard_sizeofState.restype = ctypes.c_int
+    lib.Lizard_sizeofState.argtypes = [ctypes.c_int]
+    lib.Lizard_compress_extState.restype = ctypes.c_int
+    lib.Lizard_compress_extState.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                             ctypes.c_char_p, ctypes.c_int,
+                                             ctypes.c_int, ctypes.c_int]
     # xxhash (namespaced)
     lib.Lizard_XXH32.restype = ctypes.c_uint32
     lib.Lizard_XXH32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
@@ -80,9 +86,14 @@ class Oracle:
         self.lib = lib
 
     def compress(self, data: bytes, level: int) -> bytes:
+        """Deterministic reference compression: extState with a freshly
+        ZEROED state (the library leaves hash/chain tables uninitialized, so
+        plain Lizard_compress output depends on heap history)."""
         bound = self.lib.Lizard_compressBound(len(data))
         dst = ctypes.create_string_buffer(bound)
-        n = self.lib.Lizard_compress(data, dst, len(data), bound, level)
+        state_size = self.lib.Lizard_sizeofState(level)
+        state = ctypes.create_string_buffer(state_size)  # zero-initialized
+        n = self.lib.Lizard_compress_extState(state, data, dst, len(data), bound, level)
         assert n > 0, f"reference compress failed (level {level}, {len(data)}B)"
         return dst.raw[:n]
 
