@@ -11,11 +11,13 @@ import subprocess
 import pytest
 
 _SO = os.path.join(os.path.dirname(__file__), "..", ".ref_build", "liblizard_ref.so")
+_SO_O0 = os.path.join(os.path.dirname(__file__), "..", ".ref_build", "liblizard_ref_O0.so")
 _lib = None
+_lib_o0 = None
 
 
 def _load():
-    global _lib
+    global _lib, _lib_o0
     if _lib is not None:
         return _lib
     so = os.path.abspath(_SO)
@@ -27,6 +29,7 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(so)
+        _lib_o0 = ctypes.CDLL(os.path.abspath(_SO_O0))
     except OSError:
         return None
 
@@ -38,12 +41,13 @@ def _load():
                                            ctypes.c_int, ctypes.c_int]
     lib.Lizard_compressBound.restype = ctypes.c_int
     lib.Lizard_compressBound.argtypes = [ctypes.c_int]
-    lib.Lizard_sizeofState.restype = ctypes.c_int
-    lib.Lizard_sizeofState.argtypes = [ctypes.c_int]
-    lib.Lizard_compress_extState.restype = ctypes.c_int
-    lib.Lizard_compress_extState.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                             ctypes.c_char_p, ctypes.c_int,
-                                             ctypes.c_int, ctypes.c_int]
+    for l in (lib, _lib_o0):
+        l.Lizard_sizeofState.restype = ctypes.c_int
+        l.Lizard_sizeofState.argtypes = [ctypes.c_int]
+        l.Lizard_compress_extState.restype = ctypes.c_int
+        l.Lizard_compress_extState.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                               ctypes.c_char_p, ctypes.c_int,
+                                               ctypes.c_int, ctypes.c_int]
     # xxhash (namespaced)
     lib.Lizard_XXH32.restype = ctypes.c_uint32
     lib.Lizard_XXH32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
@@ -91,9 +95,11 @@ class Oracle:
         plain Lizard_compress output depends on heap history)."""
         bound = self.lib.Lizard_compressBound(len(data))
         dst = ctypes.create_string_buffer(bound)
-        state_size = self.lib.Lizard_sizeofState(level)
+        # the -O0 build is the UB-free parity target (see build_reference.sh)
+        lib = _lib_o0 if _lib_o0 is not None else self.lib
+        state_size = lib.Lizard_sizeofState(level)
         state = ctypes.create_string_buffer(state_size)  # zero-initialized
-        n = self.lib.Lizard_compress_extState(state, data, dst, len(data), bound, level)
+        n = lib.Lizard_compress_extState(state, data, dst, len(data), bound, level)
         assert n > 0, f"reference compress failed (level {level}, {len(data)}B)"
         return dst.raw[:n]
 

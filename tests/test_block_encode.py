@@ -67,3 +67,31 @@ def test_cross_decode_by_reference():
         data = gen(30_000, seed=11)
         comp = compress(data, level)
         assert o.decompress(comp, len(data)) == data
+
+
+HUFF_FAST_LEVELS = [30, 31, 32, 33, 34, 35, 36, 37, 38, 40, 41, 42, 43, 44, 45]
+
+
+@pytest.mark.parametrize("level", HUFF_FAST_LEVELS)
+def test_encode_identical_huff_levels(level):
+    o = require_oracle()
+    for data in _corpus(small=True):
+        assert compress(data, level) == o.compress(data, level), \
+            f"level {level}, len {len(data)}"
+
+
+@pytest.mark.parametrize("level", [39, 46, 49])
+def test_encode_identical_huff_optimal_levels(level):
+    o = require_oracle()
+    data = text_like(25_000, seed=4)
+    assert compress(data, level) == o.compress(data, level)
+    data = gen(25_000, seed=8, proba=0.5)
+    assert compress(data, level) == o.compress(data, level)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("level", list(range(30, 50)))
+def test_encode_identical_all_huff(level):
+    o = require_oracle()
+    for data in _corpus(small=True):
+        assert compress(data, level) == o.compress(data, level)
