@@ -1,0 +1,323 @@
+"""Lizard frame format (doc/lizard_Frame_format.md; lib/lizard_frame.c).
+
+Container: magic, descriptor (FLG/BD/contentSize/HC), LE32-size-prefixed
+blocks (high bit = stored), endmark, optional xxh32 content checksum.
+
+Encode replicates LizardF_compressFrame (lizard_frame.c:260-310):
+- optimal blockSizeID shrink, autoFlush, forced independent blocks when the
+  input fits one block
+- per block: compressed with budget srcSize-1, else stored
+  (LizardF_compressBlock, lizard_frame.c:456-469)
+- the Lizard_stream_t (hash/chain tables) is reused across blocks without
+  clearing, which is observable; replicated via a shared Tables
+
+Decode is an incremental state machine accepting any input granularity
+(FrameDecoder), mirroring LizardF_decompress (lizard_frame.c:963-1362).
+"""
+
+from lizard_tpu.format.constants import (
+    LIZARDF_BLOCK_SIZES,
+    LIZARDF_BLOCKUNCOMPRESSED_FLAG,
+    LIZARDF_MAGIC,
+    LIZARDF_MAGIC_SKIPPABLE_START,
+)
+from lizard_tpu.format.levels import LEVELS, validate_level
+from lizard_tpu.ref.block_decode import CorruptError, decompress as block_decompress
+from lizard_tpu.ref.block_encode import Ctx, Tables, compress_range
+from lizard_tpu.utils.xxh import XXH32, xxh32
+
+
+class FrameError(ValueError):
+    pass
+
+
+def _optimal_bsid(requested: int, src_size: int) -> int:
+    """LizardF_optimalBSID (lizard_frame.c:203-218)."""
+    proposed = 1
+    while requested > proposed:
+        if src_size <= LIZARDF_BLOCK_SIZES[proposed]:
+            return proposed
+        proposed += 1
+    return requested
+
+
+def compress_frame(data: bytes, level: int = 17, block_size_id: int = 0,
+                   block_linked: bool = False, content_checksum: bool = True,
+                   content_size: bool = False) -> bytes:
+    """LizardF_compressFrame equivalent (lizard_frame.c:260-310)."""
+    level = validate_level(level)
+    if block_size_id == 0:
+        block_size_id = 1  # LIZARDF_BLOCKSIZEID_DEFAULT (lizard_frame.c:120)
+    block_size_id = _optimal_bsid(block_size_id, len(data))
+    block_size = LIZARDF_BLOCK_SIZES[block_size_id]
+    if len(data) <= block_size:
+        block_linked = False  # lizard_frame.c:285-286
+
+    out = bytearray()
+    out += LIZARDF_MAGIC.to_bytes(4, "little")
+    flg = (1 << 6) | ((0 if block_linked else 1) << 5) | (int(content_checksum) << 2) \
+        | ((1 if content_size else 0) << 3)
+    header = bytearray([flg, (block_size_id & 7) << 4])
+    if content_size:
+        header += len(data).to_bytes(8, "little")
+    header.append((xxh32(bytes(header)) >> 8) & 0xFF)
+    out += header
+
+    params = LEVELS[level]
+    tables = Tables(params)
+    ctx = Ctx(level, params)
+
+    pos = 0
+    n = len(data)
+    while pos < n or (n == 0 and pos == 0):
+        part = min(block_size, n - pos)
+        if n == 0:
+            break
+        if block_linked:
+            comp = compress_range(ctx, tables, data, pos, pos + part)
+        else:
+            # extState per block: fresh ctx/window, tables NOT cleared
+            ctx = Ctx(level, params)
+            tables.next_to_update = 1 << 24  # Lizard_init resets it
+            comp = compress_range(ctx, tables, data[pos:pos + part], 0, part)
+        if len(comp) <= part - 1:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:
+            out += (part | LIZARDF_BLOCKUNCOMPRESSED_FLAG).to_bytes(4, "little")
+            out += data[pos:pos + part]
+        pos += part
+
+    out += (0).to_bytes(4, "little")  # endmark
+    if content_checksum:
+        out += xxh32(data).to_bytes(4, "little")
+    return bytes(out)
+
+
+class FrameInfo:
+    def __init__(self):
+        self.block_size_id = 0
+        self.block_linked = False
+        self.content_checksum = False
+        self.content_size = None
+        self.header_size = 0
+
+
+def parse_frame_header(src: bytes) -> FrameInfo:
+    """LizardF_decodeHeader (lizard_frame.c:756-857)."""
+    if len(src) < 7:
+        raise FrameError("frame header truncated")
+    magic = int.from_bytes(src[0:4], "little")
+    if magic != LIZARDF_MAGIC:
+        raise FrameError(f"bad magic {magic:#x}")
+    flg = src[4]
+    bd = src[5]
+    if (flg >> 6) & 3 != 1:
+        raise FrameError("unsupported frame version")
+    if flg & 0b11 or bd & 0b10001111:
+        raise FrameError("reserved bits set")
+    if (flg >> 4) & 1:
+        raise FrameError("block checksum unsupported")  # as in the reference
+    info = FrameInfo()
+    info.block_linked = ((flg >> 5) & 1) == 0
+    info.content_checksum = bool((flg >> 2) & 1)
+    has_size = bool((flg >> 3) & 1)
+    bsid = (bd >> 4) & 7
+    if bsid not in LIZARDF_BLOCK_SIZES:
+        raise FrameError("bad blockSizeID")
+    info.block_size_id = bsid
+    p = 6
+    if has_size:
+        if len(src) < 15:
+            raise FrameError("frame header truncated")
+        info.content_size = int.from_bytes(src[6:14], "little")
+        p = 14
+    hc = src[p]
+    if (xxh32(src[4:p]) >> 8) & 0xFF != hc:
+        raise FrameError("header checksum mismatch")
+    info.header_size = p + 1
+    return info
+
+
+def decompress_frame(src: bytes, verify_checksum: bool = True) -> bytes:
+    """Decode one frame; errors on trailing garbage unless it is another
+    frame (use decompress_frames for concatenated/skippable streams)."""
+    out, consumed = decompress_one_frame(src, verify_checksum)
+    if consumed != len(src):
+        raise FrameError("trailing data after frame")
+    return out
+
+
+def decompress_one_frame(src: bytes, verify_checksum: bool = True) -> tuple[bytes, int]:
+    if len(src) >= 8:
+        magic = int.from_bytes(src[0:4], "little")
+        if (magic & 0xFFFFFFF0) == LIZARDF_MAGIC_SKIPPABLE_START:
+            size = int.from_bytes(src[4:8], "little")
+            if 8 + size > len(src):
+                raise FrameError("skippable frame truncated")
+            return b"", 8 + size
+    info = parse_frame_header(src)
+    p = info.header_size
+    out = bytearray()
+    while True:
+        if p + 4 > len(src):
+            raise FrameError("missing endmark")
+        bsize = int.from_bytes(src[p:p + 4], "little")
+        p += 4
+        if bsize == 0:
+            break
+        stored = bool(bsize & LIZARDF_BLOCKUNCOMPRESSED_FLAG)
+        bsize &= ~LIZARDF_BLOCKUNCOMPRESSED_FLAG
+        if p + bsize > len(src):
+            raise FrameError("block truncated")
+        blob = src[p:p + bsize]
+        p += bsize
+        max_block = LIZARDF_BLOCK_SIZES[info.block_size_id]
+        if stored:
+            out += blob
+        else:
+            try:
+                if info.block_linked:
+                    block_decompress(blob, max_out=max_block, out=out, window_base=0)
+                else:
+                    prefix = len(out)
+                    block_decompress(blob, max_out=max_block, out=out,
+                                     window_base=prefix)
+            except CorruptError as e:
+                raise FrameError(f"block decode failed: {e}") from e
+    if info.content_checksum:
+        if p + 4 > len(src):
+            raise FrameError("missing content checksum")
+        stored_crc = int.from_bytes(src[p:p + 4], "little")
+        p += 4
+        if verify_checksum and xxh32(bytes(out)) != stored_crc:
+            raise FrameError("content checksum mismatch")
+    if info.content_size is not None and info.content_size != len(out):
+        raise FrameError("content size mismatch")
+    return bytes(out), p
+
+
+def decompress_frames(src: bytes, verify_checksum: bool = True) -> bytes:
+    """Decode a sequence of concatenated frames (incl. skippable)."""
+    out = bytearray()
+    p = 0
+    while p < len(src):
+        data, n = decompress_one_frame(src[p:], verify_checksum)
+        out += data
+        p += n
+    return bytes(out)
+
+
+class FrameDecoder:
+    """Incremental frame decoder: accepts arbitrary-granularity input chunks
+    and yields output as it becomes available, like LizardF_decompress's
+    resumable dStage machine (lizard_frame.c:713-722,980-1319)."""
+
+    def __init__(self, verify_checksum: bool = True):
+        self.buf = bytearray()
+        self.out = bytearray()
+        self.emitted = 0
+        self.verify = verify_checksum
+        self.state = "header"
+        self.info = None
+        self.xxh = XXH32(0)
+        self.skip_left = 0
+        self.finished = False
+
+    def update(self, chunk: bytes) -> bytes:
+        """Feed a chunk; returns newly decoded bytes."""
+        self.buf += chunk
+        progress = True
+        while progress:
+            progress = self._step()
+        new = bytes(self.out[self.emitted:])
+        self.emitted = len(self.out)
+        return new
+
+    def _step(self) -> bool:
+        buf = self.buf
+        if self.state == "header":
+            if len(buf) < 4:
+                return False
+            magic = int.from_bytes(buf[0:4], "little")
+            if (magic & 0xFFFFFFF0) == LIZARDF_MAGIC_SKIPPABLE_START:
+                if len(buf) < 8:
+                    return False
+                self.skip_left = int.from_bytes(buf[4:8], "little")
+                del buf[:8]
+                self.state = "skip"
+                return True
+            # need full descriptor; max 15 bytes
+            if len(buf) < 7:
+                return False
+            has_size = bool((buf[4] >> 3) & 1)
+            need = 15 if has_size else 7
+            if len(buf) < need:
+                return False
+            self.info = parse_frame_header(bytes(buf[:need]))
+            del buf[:self.info.header_size]
+            self.xxh = XXH32(0)
+            self._frame_out_start = len(self.out)
+            self.state = "blocksize"
+            return True
+        if self.state == "skip":
+            n = min(self.skip_left, len(buf))
+            del buf[:n]
+            self.skip_left -= n
+            if self.skip_left == 0:
+                self.state = "header"
+                self.finished = True
+                return True
+            return False
+        if self.state == "blocksize":
+            if len(buf) < 4:
+                return False
+            bsize = int.from_bytes(buf[0:4], "little")
+            if bsize == 0:
+                del buf[:4]
+                self.state = "suffix" if self.info.content_checksum else "header"
+                if self.state == "header":
+                    self._check_content_size()
+                    self.finished = True
+                return True
+            self._bsize = bsize & ~LIZARDF_BLOCKUNCOMPRESSED_FLAG
+            self._stored = bool(bsize & LIZARDF_BLOCKUNCOMPRESSED_FLAG)
+            del buf[:4]
+            self.state = "block"
+            return True
+        if self.state == "block":
+            if len(buf) < self._bsize:
+                return False
+            blob = bytes(buf[:self._bsize])
+            del buf[:self._bsize]
+            max_block = LIZARDF_BLOCK_SIZES[self.info.block_size_id]
+            if self._stored:
+                produced = blob
+                self.out += blob
+            else:
+                prefix = len(self.out)
+                base = self._frame_out_start if self.info.block_linked else prefix
+                block_decompress(blob, max_out=max_block, out=self.out,
+                                 window_base=base)
+                produced = bytes(self.out[prefix:])
+            if self.info.content_checksum:
+                self.xxh.update(produced)
+            self.state = "blocksize"
+            return True
+        if self.state == "suffix":
+            if len(buf) < 4:
+                return False
+            stored_crc = int.from_bytes(buf[0:4], "little")
+            del buf[:4]
+            if self.verify and self.xxh.digest() != stored_crc:
+                raise FrameError("content checksum mismatch")
+            self._check_content_size()
+            self.state = "header"
+            self.finished = True
+            return True
+        return False
+
+    def _check_content_size(self):
+        if self.info and self.info.content_size is not None:
+            if len(self.out) - self._frame_out_start != self.info.content_size:
+                raise FrameError("content size mismatch")

@@ -235,20 +235,28 @@ def _read_stream(src: bytes, ip: int, flag: int, huf_decode) -> tuple[_Stream, i
     return _Stream(data, 0, orig_len), ip + 6 + comp_len
 
 
-def decompress(src: bytes, max_out: int | None = None, huf_decode=None) -> bytes:
+def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
+               out: bytearray | None = None, window_base: int | None = None) -> bytes:
     """Decode a full Lizard compressed stream (the `Lizard_decompress_safe`
     container: 1 level byte + blocks). Returns the decompressed bytes.
 
     max_out, when given, bounds the output (corrupt streams producing more
-    raise CorruptError)."""
+    raise CorruptError). Pass `out` (existing decoded prefix) for
+    linked-blocks streaming: matches may reach back into it
+    (Lizard_decompress_safe_usingDict semantics, lizard_decompress.c:354-365).
+    """
     if len(src) < 1:
         raise CorruptError("empty input")
+    prefix = len(out) if out is not None else 0
+    if window_base is None:
+        window_base = 0
     level = src[0]
     if level < LIZARD_MIN_CLEVEL or level > LIZARD_MAX_CLEVEL:
         raise CorruptError(f"bad level byte {level}")
     params = LEVELS[level]
 
-    out = bytearray()
+    if out is None:
+        out = bytearray()
     ip = 1
     iend = len(src)
     while ip < iend:
@@ -279,11 +287,11 @@ def decompress(src: bytes, max_out: int | None = None, huf_decode=None) -> bytes
             raise CorruptError("streams exceed input")
 
         if params.codewords == Codewords.LZ4:
-            _decode_block_lz4(streams, out, 0)
+            _decode_block_lz4(streams, out, window_base)
         else:
-            _decode_block_liz(streams, out, 0)
+            _decode_block_liz(streams, out, window_base)
 
-        if max_out is not None and len(out) > max_out:
+        if max_out is not None and len(out) - prefix > max_out:
             raise CorruptError("output exceeds max_out")
 
-    return bytes(out)
+    return bytes(out[prefix:])

@@ -417,18 +417,15 @@ def _write_block(ctx: Ctx, src, block_start, input_size, out: bytearray) -> None
         write_uncompressed()
 
 
-def compress(data: bytes, level: int = 17) -> bytes:
-    """Lizard_compress equivalent: 1 level byte + inner blocks."""
-    level = validate_level(level)
-    params = LEVELS[level]
-    ctx = Ctx(level, params)
-    tables = Tables(params)
-    out = bytearray([level])
-
-    pos = 0
-    n = len(data)
-    while pos < n:
-        part = min(LIZARD_BLOCK_SIZE, n - pos)
+def compress_range(ctx: Ctx, tables, data, start: int, end: int) -> bytes:
+    """Lizard_compress_generic over data[start:end] with window into
+    data[:start] (lizard_compress.c:472-547). Returns one compressed stream
+    (level byte + inner blocks). Ctx/tables state persists across calls,
+    enabling Lizard_compress_continue-style linked blocks."""
+    out = bytearray([ctx.level])
+    pos = start
+    while pos < end:
+        part = min(LIZARD_BLOCK_SIZE, end - pos)
         if ctx.huff:
             rescale_freqs(ctx)
         ctx.init_block()
@@ -436,6 +433,21 @@ def compress(data: bytes, level: int = 17) -> bytes:
         _write_block(ctx, data, pos, part, out)
         pos += part
     return bytes(out)
+
+
+def compress(data: bytes, level: int = 17, tables: "Tables | None" = None) -> bytes:
+    """Lizard_compress_extState equivalent: fresh window, 1 level byte +
+    inner blocks. Pass `tables` to model reuse of one state across calls
+    (the reference does not clear tables between extState calls; only
+    nextToUpdate is reset via Lizard_init)."""
+    level = validate_level(level)
+    params = LEVELS[level]
+    ctx = Ctx(level, params)
+    if tables is None:
+        tables = Tables(params)
+    else:
+        tables.next_to_update = DICT  # Lizard_init (lizard_compress.c:334)
+    return compress_range(ctx, tables, data, 0, len(data))
 
 
 def _dispatch_parser(ctx, src, start, end, tables):
