@@ -1,0 +1,170 @@
+"""Host-side stream splitting: compressed Lizard streams -> struct-of-arrays
+block batch for the TPU decode kernels.
+
+The block format (1 level byte + per-block 5 separated streams,
+lib/lizard_decompress.c:115-264) is parsed on the host; stream payloads are
+concatenated into flat arrays with per-block offsets. Huffman-coded streams
+are entropy-decoded during the split (CPU for now; the table-decode kernel
+moves on-device later).
+
+Output layout (`BlockBatch`): everything the device kernels need, with no
+Python objects inside the jitted path.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lizard_tpu.format.constants import (
+    FLAG_FLAGS,
+    FLAG_LEN,
+    FLAG_LITERALS,
+    FLAG_OFFSET16,
+    FLAG_OFFSET24,
+    FLAG_UNCOMPRESSED,
+    LIZARD_MAX_CLEVEL,
+    LIZARD_MIN_CLEVEL,
+)
+from lizard_tpu.format.levels import LEVELS, Codewords
+from lizard_tpu.ref.block_decode import CorruptError
+from lizard_tpu.ref.huf import huf_decompress
+
+
+@dataclass
+class BlockBatch:
+    """A batch of inner blocks in SoA form. Blocks belonging to one
+    compressed stream must stay in order: match windows span inner blocks."""
+    codewords: Codewords
+    n_blocks: int
+    # flat payload arrays (uint8)
+    flags: np.ndarray
+    literals: np.ndarray
+    off16: np.ndarray
+    off24: np.ndarray
+    # per-block [n_blocks] int32 offsets/lengths into the flat arrays
+    flags_off: np.ndarray
+    flags_len: np.ndarray
+    lit_off: np.ndarray
+    lit_len: np.ndarray
+    off16_off: np.ndarray
+    off16_len: np.ndarray
+    off24_off: np.ndarray
+    off24_len: np.ndarray
+    # stream id per block (window/rep state never crosses stream boundaries
+    # in *independent* mode; inner blocks of one stream share the window)
+    stream_id: np.ndarray
+
+    @property
+    def max_tokens(self) -> int:
+        return int(self.flags_len.max()) if self.n_blocks else 0
+
+
+def _le24(b, i):
+    return int(b[i]) | (int(b[i + 1]) << 8) | (int(b[i + 2]) << 16)
+
+
+def _read_stream(src, ip, flag):
+    if not flag:
+        if ip > len(src) - 3:
+            raise CorruptError("stream header truncated")
+        n = _le24(src, ip)
+        start = ip + 3
+        if start + n > len(src):
+            raise CorruptError("stream truncated")
+        return src[start:start + n], start + n
+    if ip > len(src) - 6:
+        raise CorruptError("huf stream header truncated")
+    orig = _le24(src, ip)
+    comp = _le24(src, ip + 3)
+    if ip + 6 + comp > len(src):
+        raise CorruptError("huf stream truncated")
+    data = huf_decompress(bytes(src[ip + 6:ip + 6 + comp]), orig)
+    return np.frombuffer(data, dtype=np.uint8), ip + 6 + comp
+
+
+def split_stream(src: bytes, batch: dict, stream_id: int) -> Codewords:
+    """Split one compressed stream (level byte + inner blocks) into `batch`
+    accumulator lists. Returns the codeword family."""
+    src = np.frombuffer(src, dtype=np.uint8)
+    if len(src) < 1:
+        raise CorruptError("empty stream")
+    level = int(src[0])
+    if level < LIZARD_MIN_CLEVEL or level > LIZARD_MAX_CLEVEL:
+        raise CorruptError(f"bad level {level}")
+    family = LEVELS[level].codewords
+
+    ip = 1
+    iend = len(src)
+    while ip < iend:
+        header = int(src[ip])
+        ip += 1
+        if header == FLAG_UNCOMPRESSED:
+            n = _le24(src, ip)
+            ip += 3
+            if ip + n > iend:
+                raise CorruptError("uncompressed block truncated")
+            _append(batch, stream_id,
+                    flags=np.zeros(0, np.uint8),
+                    literals=src[ip:ip + n],
+                    off16=np.zeros(0, np.uint8),
+                    off24=np.zeros(0, np.uint8))
+            ip += n
+            continue
+        if header & FLAG_LEN:
+            raise CorruptError("FLAG_LEN set")
+        lens, ip = _read_stream(src, ip, 0)
+        o16, ip = _read_stream(src, ip, header & FLAG_OFFSET16)
+        o24, ip = _read_stream(src, ip, header & FLAG_OFFSET24)
+        flags, ip = _read_stream(src, ip, header & FLAG_FLAGS)
+        lits, ip = _read_stream(src, ip, header & FLAG_LITERALS)
+        _append(batch, stream_id, flags=flags, literals=lits, off16=o16, off24=o24)
+    return family
+
+
+def _append(batch, stream_id, **streams):
+    for name, arr in streams.items():
+        batch[name].append(arr)
+    batch["stream_id"].append(stream_id)
+
+
+def new_accumulator() -> dict:
+    return {"flags": [], "literals": [], "off16": [], "off24": [], "stream_id": []}
+
+
+def finalize(batch: dict, codewords: Codewords) -> BlockBatch:
+    def cat(name):
+        arrs = batch[name]
+        flat = np.concatenate(arrs) if arrs else np.zeros(0, np.uint8)
+        lens = np.array([len(a) for a in arrs], dtype=np.int32)
+        offs = np.zeros(len(arrs), dtype=np.int32)
+        if len(arrs):
+            offs[1:] = np.cumsum(lens[:-1])
+        return np.ascontiguousarray(flat), offs, lens
+
+    flags, f_off, f_len = cat("flags")
+    lits, l_off, l_len = cat("literals")
+    o16, s_off, s_len = cat("off16")
+    o24, b_off, b_len = cat("off24")
+    return BlockBatch(
+        codewords=codewords,
+        n_blocks=len(batch["stream_id"]),
+        flags=flags, literals=lits, off16=o16, off24=o24,
+        flags_off=f_off, flags_len=f_len,
+        lit_off=l_off, lit_len=l_len,
+        off16_off=s_off, off16_len=s_len,
+        off24_off=b_off, off24_len=b_len,
+        stream_id=np.array(batch["stream_id"], dtype=np.int32),
+    )
+
+
+def split_streams(streams: list[bytes]) -> BlockBatch:
+    """Split multiple independent compressed streams into one batch."""
+    acc = new_accumulator()
+    family = None
+    for i, s in enumerate(streams):
+        f = split_stream(s, acc, i)
+        if family is None:
+            family = f
+        elif family != f:
+            raise CorruptError("mixed codeword families in one batch")
+    return finalize(acc, family or Codewords.LZ4)

@@ -6,7 +6,9 @@ environment.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of the ambient platform (this environment presets
+# JAX_PLATFORMS=axon, the TPU tunnel; tests must not compile over it)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
