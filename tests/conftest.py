@@ -7,13 +7,18 @@ environment.
 import os
 
 # force CPU regardless of the ambient platform (this environment presets
-# JAX_PLATFORMS=axon, the TPU tunnel; tests must not compile over it)
+# JAX_PLATFORMS=axon, the TPU tunnel, via a sitecustomize that re-registers
+# the plugin; the env var alone does not stick -> use jax.config too)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
