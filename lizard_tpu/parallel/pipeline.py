@@ -1,0 +1,184 @@
+"""Multi-chip decode pipeline: independent compressed streams (frame blocks
+in blockIndependent mode) scattered data-parallel over a jax.sharding.Mesh,
+decoded locally per chip, gathered in frame order.
+
+This is the TPU mapping of the format's top-level parallel unit
+(SURVEY.md §2.5): independent frame blocks are self-contained, so the only
+cross-device communication is the ordered ragged gather of outputs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lizard_tpu.format.levels import Codewords
+from lizard_tpu.ops.decode import GUARD, resolve_output, token_parse_liz, token_parse_lz4
+from lizard_tpu.ops.split import finalize, new_accumulator, split_stream
+
+
+def make_sharded_decoder(mesh: Mesh, *, out_cap, max_steps, max_tokens_total,
+                         family_liz):
+    """Build the jitted multi-chip decode step for fixed shard geometry.
+    Arrays are [n_shards, ...]; each device decodes its shard locally
+    (pure data parallel; the final gather rides the output sharding)."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"),) * 10,
+        out_specs=(P("dp"), P("dp")),
+    )
+    def _sharded(flags, lit, off16, off24, flags_off, flags_len,
+                 lit_off, lit_len, off16_off, off24_off):
+        if family_liz:
+            ll, ml, off, lit_start = token_parse_liz(
+                flags[0], lit[0], off16[0], off24[0], flags_off[0],
+                flags_len[0], lit_off[0], lit_len[0], off16_off[0],
+                off24_off[0], max_steps)
+        else:
+            ll, ml, off, lit_start = token_parse_lz4(
+                flags[0], lit[0], flags_off[0], flags_len[0], lit_off[0],
+                lit_len[0], max_steps)
+        out, blk_len = resolve_output(ll, ml, off, lit_start, flags_len[0],
+                                      lit[0], out_cap, max_tokens_total)
+        return out[None], blk_len[None]
+
+    return jax.jit(_sharded)
+
+
+def _pad_to(a, n, dtype):
+    out = np.zeros(n, dtype)
+    out[:len(a)] = a
+    return out
+
+
+def _group(n_items: int, n_shards: int):
+    """Contiguous balanced grouping preserving order."""
+    return [i * n_shards // max(n_items, 1) for i in range(n_items)]
+
+
+def decode_streams_sharded(streams: list[bytes], max_stream_out: int,
+                           mesh: Mesh | None = None) -> list[bytes]:
+    """Decode independent compressed streams across the mesh. Returns the
+    decompressed bytes per stream, in input order. `max_stream_out` bounds
+    any single stream's decompressed size (frame maxBlockSize)."""
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+    n_shards = int(mesh.devices.size)
+    if not streams:
+        return []
+
+    assign = _group(len(streams), n_shards)
+    shard_batches = []
+    shard_streams_idx = [[] for _ in range(n_shards)]
+    for s in range(n_shards):
+        acc = new_accumulator()
+        fam = None
+        for i, stream in enumerate(streams):
+            if assign[i] == s:
+                fam = split_stream(stream, acc, i)
+                shard_streams_idx[s].append(i)
+        shard_batches.append(finalize(acc, fam or Codewords.LIZv1))
+
+    family = next((b.codewords for b in shard_batches if b.n_blocks),
+                  Codewords.LZ4)
+    bmax = max(max((b.n_blocks for b in shard_batches), default=1), 1)
+    caps = [max(max((len(getattr(b, f)) for b in shard_batches), default=1), 1)
+            + GUARD for f in ("flags", "literals", "off16", "off24")]
+    max_steps = max(max((b.max_tokens for b in shard_batches), default=0), 1)
+    max_tokens_total = max(max((int((b.flags_len + 1).sum())
+                                for b in shard_batches if b.n_blocks),
+                               default=1), bmax + 1)
+    out_cap = max(max(len(g) for g in shard_streams_idx), 1) * max_stream_out
+
+    def stack_u8(field, cap):
+        return np.stack([_pad_to(getattr(b, field), cap, np.uint8)
+                         for b in shard_batches])
+
+    def stack_i32(field):
+        return np.stack([_pad_to(getattr(b, field), bmax, np.int32)
+                         for b in shard_batches])
+
+    # padded (inactive) block rows get flags_len = -1 so neither real tokens
+    # nor the trailing-literals pseudo token fire for them
+    flags_len = np.stack([
+        np.where(np.arange(bmax) < b.n_blocks,
+                 _pad_to(b.flags_len, bmax, np.int32), -1).astype(np.int32)
+        for b in shard_batches])
+
+    arrays = (stack_u8("flags", caps[0]), stack_u8("literals", caps[1]),
+              stack_u8("off16", caps[2]), stack_u8("off24", caps[3]),
+              stack_i32("flags_off"), flags_len,
+              stack_i32("lit_off"), stack_i32("lit_len"),
+              stack_i32("off16_off"), stack_i32("off24_off"))
+
+    decoder = make_sharded_decoder(mesh, out_cap=int(out_cap),
+                                   max_steps=int(max_steps),
+                                   max_tokens_total=int(max_tokens_total),
+                                   family_liz=family == Codewords.LIZv1)
+    sharding = NamedSharding(mesh, P("dp"))
+    out, blk_len = decoder(*[jax.device_put(a, sharding) for a in arrays])
+    out = np.asarray(out)
+    blk_len = np.asarray(blk_len)
+
+    # ragged per-stream reassembly: per-block lengths + block->stream map
+    results: list[bytes] = [b""] * len(streams)
+    for s, batch in enumerate(shard_batches):
+        pos = 0
+        pieces: dict[int, list[bytes]] = {}
+        for bidx in range(batch.n_blocks):
+            ln = int(blk_len[s, bidx])
+            pieces.setdefault(int(batch.stream_id[bidx]), []).append(
+                out[s, pos:pos + ln].tobytes())
+            pos += ln
+        for sid, chunks in pieces.items():
+            results[sid] = b"".join(chunks)
+    return results
+
+
+def decode_frame_sharded(frame: bytes, mesh: Mesh | None = None) -> bytes:
+    """Decode a blockIndependent frame with its blocks scattered over the
+    mesh; stored blocks are spliced on the host; frame order preserved."""
+    from lizard_tpu.format.constants import (
+        LIZARDF_BLOCK_SIZES,
+        LIZARDF_BLOCKUNCOMPRESSED_FLAG,
+    )
+    from lizard_tpu.frame import FrameError, parse_frame_header
+    from lizard_tpu.utils.xxh import xxh32
+
+    info = parse_frame_header(frame)
+    if info.block_linked:
+        raise FrameError("sharded decode requires independent blocks")
+    max_block = LIZARDF_BLOCK_SIZES[info.block_size_id]
+    p = info.header_size
+    units = []
+    while True:
+        if p + 4 > len(frame):
+            raise FrameError("missing endmark")
+        bsize = int.from_bytes(frame[p:p + 4], "little")
+        p += 4
+        if bsize == 0:
+            break
+        stored = bool(bsize & LIZARDF_BLOCKUNCOMPRESSED_FLAG)
+        bsize &= ~LIZARDF_BLOCKUNCOMPRESSED_FLAG
+        units.append(("raw" if stored else "comp", frame[p:p + bsize]))
+        p += bsize
+    crc = int.from_bytes(frame[p:p + 4], "little") if info.content_checksum else None
+
+    comp_streams = [u[1] for u in units if u[0] == "comp"]
+    decoded = decode_streams_sharded(comp_streams, max_block, mesh)
+
+    out = bytearray()
+    ci = 0
+    for kind, payload in units:
+        if kind == "raw":
+            out += payload
+        else:
+            out += decoded[ci]
+            ci += 1
+    if crc is not None and xxh32(bytes(out)) != crc:
+        raise FrameError("content checksum mismatch")
+    return bytes(out)
