@@ -66,7 +66,8 @@ def main():
     import numpy as np
 
     from lizard_tpu.format.levels import Codewords
-    from lizard_tpu.ops.decode import GUARD, _decode_batch_jit
+    from lizard_tpu.ops.pallas_decode import (
+        FLAG_ROWS, LIT_ROWS, _pallas_decode_lz4)
     from lizard_tpu.ops.split import finalize, new_accumulator, split_stream
 
     data = build_corpus(CORPUS_MB << 20)
@@ -76,23 +77,26 @@ def main():
     acc = new_accumulator()
     family = split_stream(comp, acc, 0)
     batch = finalize(acc, family)
+    if family == Codewords.LIZv1:
+        raise SystemExit("bench currently targets fastLZ4 levels")
 
-    def pad(a):
-        return np.concatenate([a, np.zeros(GUARD, np.uint8)])
+    def to_rows(a, pad_rows):
+        n = len(a)
+        rows = (n + 127) // 128 + pad_rows
+        buf = np.zeros(rows * 128, np.int32)
+        buf[:n] = a
+        return buf.reshape(rows, 128)
 
-    dev_args = [jnp.asarray(pad(batch.flags)), jnp.asarray(pad(batch.literals)),
-                jnp.asarray(pad(batch.off16)), jnp.asarray(pad(batch.off24)),
+    dev_args = [jnp.asarray(to_rows(batch.flags, FLAG_ROWS)),
+                jnp.asarray(to_rows(batch.literals, LIT_ROWS)),
                 jnp.asarray(batch.flags_off), jnp.asarray(batch.flags_len),
-                jnp.asarray(batch.lit_off), jnp.asarray(batch.lit_len),
-                jnp.asarray(batch.off16_off), jnp.asarray(batch.off24_off)]
-    static = dict(total_out=len(data), max_steps=batch.max_tokens,
-                  max_tokens_total=int((batch.flags_len + 1).sum()),
-                  family_liz=family == Codewords.LIZv1)
+                jnp.asarray(batch.lit_off), jnp.asarray(batch.lit_len)]
+    static = dict(n_blocks=int(batch.n_blocks))
 
-    # compile + verify
-    out, blk_len = _decode_batch_jit(*dev_args, **static)
+    # compile + verify (fused Pallas block decoder)
+    out = _pallas_decode_lz4(*dev_args, **static)
     out.block_until_ready()
-    got = np.asarray(out).tobytes()
+    got = np.asarray(out).astype(np.uint8).reshape(-1)[:len(data)].tobytes()
     assert got == data, "round-trip verification failed"
 
     # fastest-of-N over >= BENCH_SECONDS (bench.c protocol)
@@ -101,7 +105,7 @@ def main():
     iters = 0
     while t_total < BENCH_SECONDS:
         t0 = time.perf_counter()
-        out, _ = _decode_batch_jit(*dev_args, **static)
+        out = _pallas_decode_lz4(*dev_args, **static)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = min(best, dt)

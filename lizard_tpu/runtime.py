@@ -1,0 +1,92 @@
+"""Native host runtime bindings (native/lizard_runtime.cpp).
+
+Provides fast host-side decode and xxhash for IO paths (CLI, verification)
+where the TPU round-trip is unnecessary. Falls back to the pure-Python
+implementations when the shared library isn't built; build with
+tools/build_native.sh.
+"""
+
+import ctypes
+import os
+import subprocess
+
+_SO = os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                   "liblizard_tpu_runtime.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = os.path.abspath(_SO)
+    if not os.path.exists(so):
+        script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                              "build_native.sh")
+        try:
+            subprocess.run(["sh", script], check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.ltpu_xxh32.restype = ctypes.c_uint32
+    lib.ltpu_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+    lib.ltpu_xxh64.restype = ctypes.c_uint64
+    lib.ltpu_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+    lib.ltpu_decompress.restype = ctypes.c_int64
+    lib.ltpu_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_char_p, ctypes.c_size_t]
+    lib.ltpu_frame_decompress.restype = ctypes.c_int64
+    lib.ltpu_frame_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                          ctypes.c_char_p, ctypes.c_size_t]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.utils.xxh import xxh32 as py
+        return py(data, seed)
+    return lib.ltpu_xxh32(data, len(data), seed)
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.utils.xxh import xxh64 as py
+        return py(data, seed)
+    return lib.ltpu_xxh64(data, len(data), seed)
+
+
+def decompress(src: bytes, max_out: int) -> bytes:
+    """Block-stream decode (Lizard_decompress_safe equivalent)."""
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.ref.block_decode import decompress as py
+        return py(src, max_out)
+    dst = ctypes.create_string_buffer(max(max_out, 1))
+    n = lib.ltpu_decompress(src, len(src), dst, max_out)
+    if n < 0:
+        raise ValueError(f"native decompress failed ({n})")
+    return dst.raw[:n]
+
+
+def decompress_frame(src: bytes, max_out: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.frame import decompress_frames as py
+        return py(src)
+    dst = ctypes.create_string_buffer(max(max_out, 1))
+    n = lib.ltpu_frame_decompress(src, len(src), dst, max_out)
+    if n < 0:
+        raise ValueError(f"native frame decompress failed ({n})")
+    return dst.raw[:n]

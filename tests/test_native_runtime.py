@@ -1,0 +1,54 @@
+"""Native C++ runtime vs Python oracle and reference."""
+
+import time
+
+import pytest
+
+from lizard_tpu import runtime
+from lizard_tpu.frame import compress_frame
+from lizard_tpu.ref.block_encode import compress
+from lizard_tpu.utils.datagen import gen, text_like
+from lizard_tpu.utils.xxh import xxh32 as py_xxh32, xxh64 as py_xxh64
+
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="native runtime not built")
+
+
+def test_native_xxh():
+    for n in (0, 1, 15, 16, 17, 1000, 100_000):
+        data = gen(n, seed=n) if n else b""
+        assert runtime.xxh32(data, 0) == py_xxh32(data, 0)
+        assert runtime.xxh64(data, 7) == py_xxh64(data, 7)
+
+
+@pytest.mark.parametrize("level", [10, 14, 17, 21, 25, 29, 31, 35, 41, 45, 49])
+def test_native_block_decode(level):
+    for data in (gen(60_000, 3), text_like(40_000, 4), bytes(3000), b"x"):
+        comp = compress(data, level)
+        assert runtime.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("linked", [False, True])
+def test_native_frame_decode(linked):
+    data = gen(400_000, 5)
+    f = compress_frame(data, 16, block_linked=linked)
+    assert runtime.decompress_frame(f, len(data) + 16) == data
+
+
+def test_native_rejects_bad_checksum():
+    data = gen(10_000, 1)
+    f = bytearray(compress_frame(data, 12))
+    f[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        runtime.decompress_frame(bytes(f), len(data) + 16)
+
+
+def test_native_decode_speed():
+    data = gen(4 << 20, 9)
+    comp = compress_frame(data, 11)
+    t0 = time.perf_counter()
+    out = runtime.decompress_frame(comp, len(data) + 16)
+    dt = time.perf_counter() - t0
+    assert out == data
+    assert dt < 1.0, f"native decode too slow: {dt}s"
