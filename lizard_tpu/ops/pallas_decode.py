@@ -86,8 +86,16 @@ def _ext_from_window(v, base_lane):
 
 
 def _read_ext(ref, pos):
-    """Length extension at byte pos (one funnel window, 4 static lanes)."""
-    return _ext_from_window(_window(ref, pos), 0)
+    """Length extension (<254 / 254+LE16 / 255+LE24) at byte pos."""
+    b0 = _extract(ref, pos)
+    b1 = _extract(ref, pos + 1)
+    b2 = _extract(ref, pos + 2)
+    b3 = _extract(ref, pos + 3)
+    val = jnp.where(b0 < 254, b0,
+                    jnp.where(b0 == 254, b1 | (b2 << 8),
+                              b1 | (b2 << 8) | (b3 << 16)))
+    n = jnp.where(b0 < 254, 1, jnp.where(b0 == 254, 3, 4))
+    return val, n
 
 
 def _copy_run(dst_ref, src_ref, dst_off, src_off, n):
@@ -201,14 +209,15 @@ def _lz4_block_kernel(flags_off_r, n_tokens_r, lit_off_r, lit_len_r,
         out_p = out_p + ll
         lit_p = lit_p + ll
 
-        # one funnel window covers the LE16 offset and any match-length
-        # extension right behind it
-        w = _window(litv, lit_p - lit_base)
-        off = _wlane(w, 0) | (_wlane(w, 1) << 8)
+        # (measured: independent single-row extracts beat 2-row funnel
+        # windows here -- shorter scalar->vector dependency chains)
+        b0 = _extract(litv, lit_p - lit_base)
+        b1 = _extract(litv, lit_p + 1 - lit_base)
+        off = b0 | (b1 << 8)
         lit_p = lit_p + 2
 
         ml0 = token >> 4
-        ext2, extn2 = _ext_from_window(w, 2)
+        ext2, extn2 = _read_ext(litv, lit_p - lit_base)
         has_ml_ext = ml0 == 15
         ml = jnp.where(has_ml_ext, ext2 + 15, ml0) + MINMATCH
         lit_p = lit_p + jnp.where(has_ml_ext, extn2, 0)
