@@ -27,7 +27,15 @@ from lizard_tpu.format.constants import (
 )
 from lizard_tpu.format.levels import LEVELS, Codewords
 from lizard_tpu.ref.block_decode import CorruptError
-from lizard_tpu.ref.huf import huf_decompress
+
+try:  # native Huff0 is ~100x the pure-Python oracle
+    from lizard_tpu import runtime as _rt
+    if _rt.available():
+        huf_decompress = _rt.huf_decompress
+    else:
+        from lizard_tpu.ref.huf import huf_decompress
+except Exception:
+    from lizard_tpu.ref.huf import huf_decompress
 
 
 @dataclass

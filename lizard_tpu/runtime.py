@@ -43,6 +43,9 @@ def _load():
     lib.ltpu_frame_decompress.restype = ctypes.c_int64
     lib.ltpu_frame_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                           ctypes.c_char_p, ctypes.c_size_t]
+    lib.ltpu_huf_decompress.restype = ctypes.c_int
+    lib.ltpu_huf_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                        ctypes.c_char_p, ctypes.c_size_t]
     _lib = lib
     return lib
 
@@ -90,3 +93,15 @@ def decompress_frame(src: bytes, max_out: int) -> bytes:
     if n < 0:
         raise ValueError(f"native frame decompress failed ({n})")
     return dst.raw[:n]
+
+
+def huf_decompress(src: bytes, dst_size: int) -> bytes:
+    """Huff0 stream decode (native when available)."""
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.ref.huf import huf_decompress as py
+        return py(src, dst_size)
+    dst = ctypes.create_string_buffer(max(dst_size, 1))
+    if lib.ltpu_huf_decompress(src, len(src), dst, dst_size) != 0:
+        raise ValueError("native huf decode failed")
+    return dst.raw[:dst_size]

@@ -581,3 +581,11 @@ int64_t ltpu_frame_decompress(const uint8_t* src, size_t n, uint8_t* dst,
 }
 
 }  // extern "C"
+
+extern "C" {
+// standalone Huff0 decode (for the host-side stream splitter)
+int ltpu_huf_decompress(const uint8_t* src, size_t n, uint8_t* dst,
+                        size_t dst_size) {
+  return huf_decompress(src, n, dst, dst_size) ? 0 : -1;
+}
+}
