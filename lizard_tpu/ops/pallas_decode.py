@@ -1,4 +1,4 @@
-"""Fused Pallas TPU decoder for the fastLZ4 codeword family.
+"""Fused Pallas TPU block decoders (fastLZ4 and LIZv1 codewords).
 
 One pallas_call decodes a whole batch of 128 KB inner blocks (grid over
 blocks, sequential on-core). Per block:
@@ -17,6 +17,12 @@ blocks, sequential on-core). Per block:
   is non-overlapping
 - the decoded block is DMA'd back to HBM as [1024, 128] i32 rows (byte per
   lane); the caller packs to u8 with one elementwise XLA op
+
+The LIZv1 variant adds rep-offset state, the two separated offset streams,
+and a far-match path: offsets reach up to 16 MB back (windowLog 22/24), so
+sources beyond the VMEM window are DMA'd from the already-written HBM output
+in chunks (sources advance toward the write position, so at most one
+far->near transition occurs per match).
 
 Assumes well-formed input (the format guarantees: offset >= 8, last 16
 bytes literal, blocks decode to exactly 128 KB except the last of a stream).
@@ -245,6 +251,202 @@ def _lz4_block_kernel(flags_off_r, n_tokens_r, lit_off_r, lit_len_r,
     cp.wait()
 
 
+LIZ_FLAG_ROWS = 1040     # LIZv1 tokens can be 1/byte (rep ml=1): up to 128K
+OFF_ROWS = 1040          # off16/off24 streams are < 128 KB by construction
+STAGE_ROWS = 48          # far-match DMA staging (4 KB chunks + align slack)
+FAR_CHUNK = 4096
+
+
+def _liz_match_copy(out_hbm, outw, staging, sem, b, out_p, off, ml):
+    """LIZv1 match copy: offsets reach up to 16 MB back (windowLog 22/24).
+    Sources within the VMEM window (current block + 64 KB halo) copy
+    locally; farther sources are DMA'd from the already-written HBM output
+    in 4 KB chunks. Sources advance toward the write position, so at most
+    one far->near transition occurs."""
+    OUT_BASE = ROWS_WIN * 128
+
+    def cond(s):
+        return s[0] < ml
+
+    def body(s):
+        done, _ = s
+        dst_local = OUT_BASE + out_p + done
+        src_local = dst_local - off
+        is_near = src_local >= 0
+
+        @pl.when(is_near)
+        def _():
+            # in-window: overlap-safe doubling copy for the whole remainder
+            _copy_match(outw, dst_local, off, ml - done)
+
+        @pl.when(jnp.logical_not(is_near))
+        def _():
+            # far: source strictly below the halo; chunk stays in HBM region
+            src_global = b * (ROWS_BLK * 128) + out_p + done - off
+            chunk = jnp.minimum(jnp.minimum(ml - done, FAR_CHUNK), -src_local)
+            srow0 = (src_global >> 7) & ~7
+            cp = pltpu.make_async_copy(
+                out_hbm.at[pl.ds(srow0, STAGE_ROWS - 8)],
+                staging.at[pl.ds(0, STAGE_ROWS - 8)],
+                sem)
+            cp.start()
+            cp.wait()
+            _copy_run(outw, staging, dst_local, src_global - (srow0 << 7), chunk)
+
+        chunk = jnp.where(is_near, ml - done,
+                          jnp.minimum(jnp.minimum(ml - done, FAR_CHUNK),
+                                      -src_local))
+        return done + chunk, 0
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+
+def _liz_block_kernel(flags_off_r, n_tokens_r, lit_off_r, lit_len_r,
+                      o16_off_r, o16_len_r, o24_off_r, o24_len_r,
+                      flags_hbm, lit_hbm, o16_hbm, o24_hbm, out_hbm,
+                      outw, litv, flagv, o16v, o24v, staging, sems):
+    """LIZv1 codewords (lib/lizard_decompress_liz.h): 4 token classes,
+    rep-offsets (reset per block), separated 16/24-bit offset streams."""
+    b = pl.program_id(0)
+    n_tok = n_tokens_r[b]
+    lit_off = lit_off_r[b]
+    lit_len = lit_len_r[b]
+    f_off = flags_off_r[b]
+    s16_off = o16_off_r[b]
+    s16_len = o16_len_r[b]
+    s24_off = o24_off_r[b]
+    s24_len = o24_len_r[b]
+
+    outw[0:ROWS_WIN, :] = outw[ROWS_BLK:ROWS_BLK + ROWS_WIN, :]
+
+    lrow0 = (lit_off >> 7) & ~7
+    _dma_rows(lit_hbm, litv, lrow0, ((lit_off + lit_len + 127) >> 7) - lrow0,
+              sems.at[0], LIT_ROWS)
+    lit_base = lrow0 << 7
+
+    frow0 = (f_off >> 7) & ~7
+    _dma_rows(flags_hbm, flagv, frow0, ((f_off + n_tok + 127) >> 7) - frow0,
+              sems.at[1], LIZ_FLAG_ROWS)
+    flag_base = frow0 << 7
+
+    s16row0 = (s16_off >> 7) & ~7
+    _dma_rows(o16_hbm, o16v, s16row0,
+              ((s16_off + s16_len + 127) >> 7) - s16row0, sems.at[0], OFF_ROWS)
+    s16_base = s16row0 << 7
+    s24row0 = (s24_off >> 7) & ~7
+    _dma_rows(o24_hbm, o24v, s24row0,
+              ((s24_off + s24_len + 127) >> 7) - s24row0, sems.at[1], OFF_ROWS)
+    s24_base = s24row0 << 7
+
+    OUT_BASE = ROWS_WIN * 128
+
+    def tok_cond(s):
+        return s[0] < n_tok
+
+    def tok_body(s):
+        tok_i, lit_p, out_p, p16, p24, last_off = s
+        token = _extract(flagv, f_off + tok_i - flag_base)
+
+        is_short = token >= 32
+        is_rep = token >= 128
+        is_long31 = token == 31
+
+        # --- short-token literal run ---
+        ll0 = token & 7
+        ext, extn = _read_ext(litv, lit_p - lit_base)
+        has_ll_ext = is_short & (ll0 == 7)
+        ll = jnp.where(is_short, jnp.where(has_ll_ext, ext + 7, ll0), 0)
+        lit_p = lit_p + jnp.where(has_ll_ext, extn, 0)
+
+        @pl.when(ll > 0)
+        def _():
+            _copy_run(outw, litv, OUT_BASE + out_p, lit_p - lit_base, ll)
+        out_p = out_p + ll
+        lit_p = lit_p + ll
+
+        # --- offset ---
+        n16a = _extract(o16v, p16 - s16_base)
+        n16b = _extract(o16v, p16 + 1 - s16_base)
+        new16 = n16a | (n16b << 8)
+        use16 = is_short & jnp.logical_not(is_rep)
+        p16 = p16 + jnp.where(use16, 2, 0)
+
+        n24a = _extract(o24v, p24 - s24_base)
+        n24b = _extract(o24v, p24 + 1 - s24_base)
+        n24c = _extract(o24v, p24 + 2 - s24_base)
+        new24 = n24a | (n24b << 8) | (n24c << 16)
+        use24 = jnp.logical_not(is_short)
+        p24 = p24 + jnp.where(use24, 3, 0)
+
+        # --- match length ---
+        mls = (token >> 3) & 15
+        ext2, extn2 = _read_ext(litv, lit_p - lit_base)
+        has_ml_ext = is_short & (mls == 15)
+        # token 31: length ext read BEFORE the 24-bit offset is consumed
+        is_ext31 = jnp.logical_not(is_short) & is_long31
+        ml = jnp.where(is_short,
+                       jnp.where(has_ml_ext, ext2 + 15, mls),
+                       jnp.where(is_long31, ext2 + 31 + 16, token + 16))
+        lit_p = lit_p + jnp.where(has_ml_ext | is_ext31, extn2, 0)
+
+        last_off = jnp.where(use16, new16, jnp.where(use24, new24, last_off))
+
+        @pl.when((ml > 0) & (last_off > 0))
+        def _():
+            _liz_match_copy(out_hbm, outw, staging, sems.at[2], b, out_p,
+                            last_off, ml)
+        out_p = out_p + ml
+
+        return tok_i + 1, lit_p, out_p, p16, p24, last_off
+
+    _, lit_p, out_p, _, _, _ = jax.lax.while_loop(
+        tok_cond, tok_body,
+        (jnp.int32(0), lit_off, jnp.int32(0), s16_off, s24_off, jnp.int32(0)))
+
+    t_ll = lit_off + lit_len - lit_p
+    @pl.when(t_ll > 0)
+    def _():
+        _copy_run(outw, litv, OUT_BASE + out_p, lit_p - lit_base, t_ll)
+
+    cp = pltpu.make_async_copy(
+        outw.at[pl.ds(ROWS_WIN, ROWS_BLK)],
+        out_hbm.at[pl.ds(b * ROWS_BLK, ROWS_BLK)],
+        sems.at[2])
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _pallas_decode_liz(flag_rows, lit_rows, o16_rows, o24_rows,
+                       flags_off, n_tokens, lit_off, lit_len,
+                       o16_off, o16_len, o24_off, o24_len,
+                       n_blocks, interpret=False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS_OUT, 128), jnp.int32),
+            pltpu.VMEM((LIT_ROWS, 128), jnp.int32),
+            pltpu.VMEM((LIZ_FLAG_ROWS, 128), jnp.int32),
+            pltpu.VMEM((OFF_ROWS, 128), jnp.int32),
+            pltpu.VMEM((OFF_ROWS, 128), jnp.int32),
+            pltpu.VMEM((STAGE_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _liz_block_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * ROWS_BLK, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(flags_off, n_tokens, lit_off, lit_len, o16_off, o16_len,
+      o24_off, o24_len, flag_rows, lit_rows, o16_rows, o24_rows)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
 def _pallas_decode_lz4(flags_i32, lit_rows, flags_off, n_tokens,
                        lit_off, lit_len, n_blocks, interpret=False):
@@ -271,33 +473,42 @@ def _pallas_decode_lz4(flags_i32, lit_rows, flags_off, n_tokens,
     return out
 
 
+def _to_rows(a, pad_rows):
+    n = len(a)
+    rows = (n + 127) // 128 + pad_rows
+    buf = np.zeros(rows * 128, np.int32)
+    buf[:n] = a
+    return buf.reshape(rows, 128)
+
+
 def decode_batch_pallas(batch, interpret=False):
-    """Decode a BlockBatch of fastLZ4 blocks with the fused Pallas kernel.
-    Returns (padded [n_blocks, 128K] u8 array, None). Blocks must decode to
-    <= 128 KB each (always true); callers slice the ragged tail."""
+    """Decode a BlockBatch with the fused Pallas kernel (both codeword
+    families). Returns a padded [n_blocks*1024, 128] i32 array (one byte per
+    lane). Blocks must decode to <= 128 KB each (always true); only the last
+    block of a stream may be short, so padded == compact for single streams."""
     from lizard_tpu.format.levels import Codewords
-    assert batch.codewords == Codewords.LZ4
 
-    def to_rows(a, pad_rows):
-        n = len(a)
-        rows = (n + 127) // 128 + pad_rows
-        buf = np.zeros(rows * 128, np.int32)
-        buf[:n] = a
-        return buf.reshape(rows, 128)
-
-    lit_rows = to_rows(batch.literals, LIT_ROWS)
-    flag_rows = to_rows(batch.flags, FLAG_ROWS)
-
-    out = _pallas_decode_lz4(
-        jnp.asarray(flag_rows), jnp.asarray(lit_rows),
+    if batch.codewords == Codewords.LZ4:
+        return _pallas_decode_lz4(
+            jnp.asarray(_to_rows(batch.flags, FLAG_ROWS)),
+            jnp.asarray(_to_rows(batch.literals, LIT_ROWS)),
+            jnp.asarray(batch.flags_off), jnp.asarray(batch.flags_len),
+            jnp.asarray(batch.lit_off), jnp.asarray(batch.lit_len),
+            n_blocks=int(batch.n_blocks), interpret=interpret)
+    return _pallas_decode_liz(
+        jnp.asarray(_to_rows(batch.flags, LIZ_FLAG_ROWS)),
+        jnp.asarray(_to_rows(batch.literals, LIT_ROWS)),
+        jnp.asarray(_to_rows(batch.off16, OFF_ROWS)),
+        jnp.asarray(_to_rows(batch.off24, OFF_ROWS)),
         jnp.asarray(batch.flags_off), jnp.asarray(batch.flags_len),
         jnp.asarray(batch.lit_off), jnp.asarray(batch.lit_len),
+        jnp.asarray(batch.off16_off), jnp.asarray(batch.off16_len),
+        jnp.asarray(batch.off24_off), jnp.asarray(batch.off24_len),
         n_blocks=int(batch.n_blocks), interpret=interpret)
-    return out
 
 
 def decompress_pallas(src: bytes, max_out: int, interpret=False) -> bytes:
-    """One-shot decode via the fused kernel (fastLZ4 streams)."""
+    """One-shot decode via the fused kernel (single stream, any family)."""
     from lizard_tpu.ops.split import finalize, new_accumulator, split_stream
     acc = new_accumulator()
     family = split_stream(src, acc, 0)
