@@ -1,0 +1,80 @@
+"""Lane-parallel Pallas decoder vs the bit-exact oracle (CPU interpret mode,
+shrunken geometry: blocks <= 2 KB, 5-tile ring)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lizard_tpu.ref.block_encode import compress
+from lizard_tpu.utils.datagen import gen
+
+SPB = 4          # supers per block -> 2 KB blocks
+RTILES = 5       # 2560 B ring (> 2048 max offset + band)
+GROUPS = 1       # 8 slots
+
+
+def roundtrip(datas, level=10):
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    streams = [compress(d, level) for d in datas]
+    outs = decompress_lanes(streams, interpret=True, spb=SPB, rtiles=RTILES,
+                            groups=GROUPS)
+    for i, (want, got) in enumerate(zip(datas, outs)):
+        assert got == want, (
+            f"stream {i} (len {len(want)}): first diff at "
+            f"{next((k for k in range(min(len(got), len(want))) if got[k] != want[k]), 'len')} "
+            f"got_len={len(got)}")
+
+
+def test_compressible_basic():
+    roundtrip([gen(1800, seed=1, proba=0.7)])
+
+
+def test_multiple_levels():
+    d = gen(1900, seed=2, proba=0.6)
+    for level in (10, 11, 12, 14, 17):
+        roundtrip([d], level=level)
+
+
+def test_overlap_matches():
+    roundtrip([b"\x00" * 2000])            # off=1 RLE
+    roundtrip([b"ab" * 1000])              # off=2
+    roundtrip([b"abc" * 650])              # off=3
+    roundtrip([bytes(range(7)) * 290])     # off=7
+
+
+def test_incompressible_tail():
+    rng = np.random.default_rng(3)
+    roundtrip([rng.integers(0, 256, 1500, dtype=np.uint8).tobytes()])
+
+
+def test_long_literal_run_defer():
+    # >512 B literal run forces the deferred match fetch
+    rng = np.random.default_rng(4)
+    head = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+    roundtrip([head + head[:900]])
+
+
+def test_many_streams_chained_slots():
+    rng = np.random.default_rng(5)
+    datas = []
+    for i in range(20):
+        n = int(rng.integers(1, 2049))
+        if i % 3 == 0:
+            datas.append(gen(n, seed=i, proba=0.8))
+        elif i % 3 == 1:
+            datas.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        else:
+            datas.append((b"xyzw" * ((n + 3) // 4))[:n])
+    roundtrip(datas)
+
+
+def test_tiny_streams():
+    roundtrip([b"a", b"hello world!", b"\x00" * 17])
+
+
+def test_far_offsets_cross_band():
+    # matches reaching back near the ring limit (~2 KB)
+    base = gen(1024, seed=7, proba=0.5)
+    data = base + b"QQ" + base[:1000]      # off ~1026 matches
+    roundtrip([data])
