@@ -59,13 +59,16 @@ from jax.experimental.pallas import tpu as pltpu
 BAND = 128                   # bytes per slot per round
 RING_TILES = 129             # 129*512 = 66048 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
-NT_P = 4                     # parse window tiles (2 KB)
-NT_C = 2                     # carry-copy window tiles (1 KB)
-NT_F = 2                     # flag window tiles (1 KB)
-LA_P = 768                   # lookahead bytes resident before a round
-LA_C = 320
-LA_F = 160
-DEFER_TH = 512               # defer match fetch when lp2 > lit_p0 + DEFER_TH
+NT_B = 16                    # parse BACKING window tiles (8 KB, DMA-refilled)
+NT_P = 2                     # parse FRONT window tiles (1 KB, vector-rebuilt)
+NT_CB = 8                    # carry backing tiles (4 KB)
+NT_C = 2                     # carry front tiles (1 KB)
+NT_F = 4                     # flags backing tiles (2 KB, read directly)
+LA_P = 5120                  # backing lookahead bytes per refill
+LA_C = 2560
+LA_F = 1024
+DEFER_TH = 480               # defer match fetch when lp2 > lit_p0 + DEFER_TH
+DCAP = 14                    # max refill rows per stream per super (15=jump)
 SUPERS_PER_BLOCK = 256       # 4 bands/super * 256 supers = 128 KB
 GROUPS = 16                  # 16 groups x 8 slots = 128 slots
 BLOCK_OUT = 131072
@@ -73,7 +76,9 @@ BLOCK_OUT = 131072
 CARRY_BIT = 1 << 24          # literal enc: bit 24 = serve from carry window
 POS_MASK = CARRY_BIT - 1
 
+_MASK_B = NT_B * 512 - 1
 _MASK_P = NT_P * 512 - 1
+_MASK_CB = NT_CB * 512 - 1
 _MASK_C = NT_C * 512 - 1
 _MASK_F = NT_F * 512 - 1
 
@@ -151,50 +156,49 @@ def _meta_row(meta_ref, row, g):
 
 
 def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
-                     ring, pwin, cwin, fwin, bounce, ltile, trk, sems):
+                     ring, pback, pfront, cback, cfront, fback, bounce,
+                     ltile, trk, sems):
     g = pl.program_id(0)
     lanes = _lanes8()
     ring_bytes = rtiles * 512
-
-    def refill(win, row0_s, filled, target, nt, s, R):
-        """DMA pool rows into slot s's window rows until filled >= target."""
-        def cond(f):
-            return f < target
-
-        def body(f):
-            cp = pltpu.make_async_copy(
-                pool_hbm.at[pl.ds(jnp.minimum(row0_s + (f >> 9), R - 1), 1)],
-                win.at[pl.ds(((f >> 9) & (nt - 1)) * 8 + s, 1)],
-                sems.at[0])
-            cp.start()
-            cp.wait()
-            return f + 512
-        return jax.lax.while_loop(cond, body, filled)
-
     R = pool_hbm.shape[0]
 
-    def super_body(sup, st):
+    def rebuild_front(front, back, fb, nt_front, back_mask):
+        """Rebuild a front window (nt_front tiles) from the backing window by
+        vector gathers: front byte j == stream byte fb+j (fb: (8,128), &~511).
+        Pure vector work -- no DMA, no scalar."""
+        nback = (back_mask + 1) // 512
+        for j in range(nt_front):
+            widx = (((fb & back_mask) >> 2) + j * 128 + lanes) & \
+                   (nback * 128 - 1)
+            front[j * 8:(j + 1) * 8, :] = _gchain(back, widx, nback)
+
+    def super_body(pair, st):
+        sup = pair * 2
         (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p, flag_p,
          lit_len, flag_len, lit_row0, flag_row0, emitted, rp) = st
 
-        # ---- block transition every SUPERS_PER_BLOCK supers ----
+        # ---- block transition every spb supers ----
         c = sup // spb
         at_boundary = (sup % spb) == 0
 
         @pl.when(at_boundary & (sup > 0))
         def _():
-            # store the finished block's decoded length
             ltile[:, :] = emitted
             cp = pltpu.make_async_copy(
-                ltile.at[:], out_hbm.at[pl.ds((groups * T + (g * C + c - 1)) * 8, 8)],
+                ltile.at[:],
+                out_hbm.at[pl.ds((groups * T + (g * C + c - 1)) * 8, 8)],
                 sems.at[1])
             cp.start()
             cp.wait()
 
+        flag_row0_nxt = _meta_row(meta_ref, c, g)
+        lit_row0_nxt = _meta_row(meta_ref, 2 * C + c, g)
+
         def do_transition(_):
-            f_row0 = _meta_row(meta_ref, c, g)
+            f_row0 = flag_row0_nxt
             f_len = _meta_row(meta_ref, C + c, g)
-            l_row0 = _meta_row(meta_ref, 2 * C + c, g)
+            l_row0 = lit_row0_nxt
             l_len = _meta_row(meta_ref, 3 * C + c, g)
             has = (l_len >= 0).astype(jnp.int32)
             z = jnp.zeros((8, 128), jnp.int32)
@@ -212,78 +216,147 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
 
         @pl.when(at_boundary)
         def _():
-            def rs(s, k):
-                trk[s, 0] = 0
-                trk[s, 1] = 0
-                trk[s, 2] = 0
+            bounce[24:32, :] = lit_row0_nxt
+            bounce[32:40, :] = flag_row0_nxt
+
+            def rs(sl, k):
+                trk[sl, 0] = 0
+                trk[sl, 1] = 0
+                trk[sl, 2] = 0
+                trk[sl, 3] = bounce[24 + sl, 0]
+                trk[sl, 4] = bounce[32 + sl, 0]
                 return k
             jax.lax.fori_loop(0, 8, rs, 0)
+            bounce[40:64, :] = jnp.zeros((24, 128), jnp.int32)
 
-        rt = rp >> 9  # ring tile written during this super-round
+        # ---- per-super window refills (vector-decided, scalar-issued) ----
+        # delta rows per slot per stream, 4 bits each, packed into one i32
+        # by a row-weighted reduce; sentinel 15 = pointer jumped past the
+        # backing window (scalar side re-reads the pointer from `bounce`).
+        def deltas(ptr, fill, la, jr):
+            frow = fill >> 9
+            want = ((ptr + la) >> 9) + 1
+            jump = (ptr >> 9) > frow
+            d = jnp.clip(want - frow, 0, DCAP)
+            d = jnp.where(jump, 15, d)
+            nfill = jnp.where(jump, ((ptr >> 9) + jr) << 9,
+                              jnp.maximum(fill, jnp.minimum(want, frow + d) << 9))
+            return d, nfill
 
-        def one_band(ph, carry):
+        JR_P = (LA_P >> 9) + 2
+        JR_C = (LA_C >> 9) + 2
+        JR_F = (LA_F >> 9) + 2
+        csrc = cur_src & POS_MASK
+        d_p, fill_p = deltas(lit_p, bounce[40:48, :], LA_P, JR_P)
+        d_c, fill_c = deltas(csrc, bounce[48:56, :], LA_C, JR_C)
+        d_f, fill_f = deltas(flag_p, bounce[56:64, :], LA_F, JR_F)
+        bounce[40:48, :] = fill_p
+        bounce[48:56, :] = fill_c
+        bounce[56:64, :] = fill_f
+        shmt = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 4
+        lane0 = lanes == 0
+        pk_p = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_p, shmt), 0))
+        pk_c = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_c, shmt), 0))
+        pk_f = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_f, shmt), 0))
+        bounce[0:8, :] = lit_p
+        bounce[8:16, :] = csrc
+        bounce[16:24, :] = flag_p
+
+        def issue(sl, win, nt, row0, f_rows, d, jr, ptr_row):
+            """Issue d row-DMAs for slot sl (d==15: jump)."""
+            def dojump(_):
+                pr = bounce[ptr_row + sl, 0] >> 9
+                return pr, pr + jr
+            def nojump(_):
+                return f_rows, f_rows + d
+            r0, r1 = jax.lax.cond(d == 15, dojump, nojump, 0)
+
+            def body(r, k):
+                cp = pltpu.make_async_copy(
+                    pool_hbm.at[pl.ds(jnp.minimum(row0 + r, R - 1), 1)],
+                    win.at[pl.ds((r & (nt - 1)) * 8 + sl, 1)],
+                    sems.at[0])
+                cp.start()
+                return k + 1
+            return jax.lax.fori_loop(r0, r1, body, 0), r1
+
+        def per_slot(sl, k):
+            lr0 = trk[sl, 3]
+            fr0 = trk[sl, 4]
+            dp = (pk_p >> (sl * 4)) & 15
+            n0, trk[sl, 0] = issue(sl, pback, NT_B, lr0, trk[sl, 0], dp,
+                                   JR_P, 0)
+            dc = (pk_c >> (sl * 4)) & 15
+            n1, trk[sl, 1] = issue(sl, cback, NT_CB, lr0, trk[sl, 1], dc,
+                                   JR_C, 8)
+            df = (pk_f >> (sl * 4)) & 15
+            n2, trk[sl, 2] = issue(sl, fback, NT_F, fr0, trk[sl, 2], df,
+                                   JR_F, 16)
+            return k + n0 + n1 + n2
+        n_dma = jax.lax.fori_loop(0, 8, per_slot, 0)
+
+        # wait for all refill DMAs at once (transfers overlap)
+        def wait_one(i, k):
+            pltpu.make_async_copy(
+                pool_hbm.at[pl.ds(0, 1)], pback.at[pl.ds(0, 1)],
+                sems.at[0]).wait()
+            return k
+        jax.lax.fori_loop(0, n_dma, wait_one, 0)
+
+        def one_band(ph, carry, rp_h, rt_h):
             (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
              flag_p, emitted) = carry
 
-            # ---------- scalar-side window refills ----------
-            bounce[0:8, :] = lit_p
-            bounce[8:16, :] = cur_src & POS_MASK
-            bounce[16:24, :] = flag_p
-            bounce[24:32, :] = lit_row0
-            bounce[32:40, :] = flag_row0
-
-            def per_slot(s, k):
-                lp = bounce[s, 0]
-                cp_ = bounce[8 + s, 0]
-                fp = bounce[16 + s, 0]
-                lr0 = bounce[24 + s, 0]
-                fr0 = bounce[32 + s, 0]
-                f0 = jnp.maximum(trk[s, 0], lp & ~511)
-                trk[s, 0] = refill(pwin, lr0, f0, lp + LA_P, NT_P, s, R)
-                f1 = jnp.maximum(trk[s, 1], cp_ & ~511)
-                trk[s, 1] = refill(cwin, lr0, f1, cp_ + LA_C, NT_C, s, R)
-                f2 = jnp.maximum(trk[s, 2], fp & ~511)
-                trk[s, 2] = refill(fwin, fr0, f2, fp + LA_F, NT_F, s, R)
-                return k
-            jax.lax.fori_loop(0, 8, per_slot, 0)
-
-            band_rp = rp + ph * BAND  # < RING_BYTES (rp multiple of 512)
-            lit_p0 = lit_p            # parse-window coverage anchor
+            band_rp = rp_h + ph * BAND
+            lit_p0 = lit_p
+            fb_p = lit_p & ~511
+            rebuild_front(pfront, pback, fb_p, NT_P, _MASK_B)
+            # carry front: normally from the carry backing; right after a
+            # literal-run jump (fresh run far ahead of the carry backing)
+            # the positions are still close to lit_p, so fall back to the
+            # parse backing until the carry backing catches up.
+            fb_c = (cur_src & POS_MASK) & ~511
+            cov_c = (fb_c + NT_C * 512) <= bounce[48:56, :]
+            for j in range(NT_C):
+                wc = ((((fb_c & _MASK_CB) >> 2) + j * 128 + lanes)
+                      & (NT_CB * 128 - 1))
+                vc = _gchain(cback, wc, NT_CB)
+                wp = ((((fb_c & _MASK_B) >> 2) + j * 128 + lanes)
+                      & (NT_B * 128 - 1))
+                vp = _gchain(pback, wp, NT_B)
+                cfront[j * 8:(j + 1) * 8, :] = jnp.where(cov_c, vc, vp)
+            covered = (fb_p + NT_P * 512) <= bounce[40:48, :]
 
             # ---------- idx build ----------
-            def w_cond(s):
-                startv = s[0]
+            def w_cond(st_):
+                startv = st_[0]
                 return jnp.any(startv[:, 0:1] < 128)
 
-            def w_body(s):
+            def w_body(st_):
                 (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, enc) = s
+                 cur_src, lit_p, flag_p, enc) = st_
                 space = 128 - startv
 
-                # -- fetch a fresh token where the current one is done --
                 aliveb = alive != 0
-                pend = aliveb & (cur_ml == -1) & (cur_ll == 0) & (space > 0)
+                pend = (aliveb & (cur_ml == -1) & (cur_ll == 0) &
+                        (space > 0) & covered)
                 need = aliveb & (cur_ll == 0) & (cur_ml == 0) & (space > 0)
                 exhausted = flag_p >= flag_len
                 tail = need & exhausted
                 fetch = need & jnp.logical_not(exhausted)
 
-                flag = _byte_at(fwin, flag_p, _MASK_F, NT_F)
+                flag = _byte_at(fback, flag_p, _MASK_F, NT_F)
                 ll0 = flag & 15
-                F1 = _funnel4(pwin, lit_p, _MASK_P, NT_P)
+                F1 = _funnel4(pfront, lit_p - fb_p, (1 << 30) - 1, NT_P)
                 ev, en = _ext_from(F1)
                 has_ll = ll0 == 15
                 ll = jnp.where(has_ll, ev + 15, ll0)
                 lp1 = lit_p + jnp.where(has_ll, en, 0)
                 lp2 = lp1 + ll
-                # offset + ml-ext sit after the literal run; if that is
-                # beyond the parse lookahead, defer the match half. pend
-                # (a previously deferred token) reads them at lit_p itself;
-                # the two cases are mutually exclusive per slot.
                 defer = lp2 > lit_p0 + DEFER_TH
                 mpos = jnp.where(pend, lit_p, lp2)
-                G2 = _funnel4(pwin, mpos, _MASK_P, NT_P)
-                G3 = _funnel4(pwin, mpos + 4, _MASK_P, NT_P)
+                G2 = _funnel4(pfront, mpos - fb_p, (1 << 30) - 1, NT_P)
+                G3 = _funnel4(pfront, mpos + 4 - fb_p, (1 << 30) - 1, NT_P)
                 off = (G2 & 0xFFFF).astype(jnp.int32)
                 n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
                 nrest = (_shr(G2, jnp.full_like(off, 24)) |
@@ -293,7 +366,6 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
                 nev = jnp.where(n0 < 254, n0, jnp.where(n0 == 254, nv16, nv24))
                 nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
                 ml0f = flag >> 4
-                # pend: the ml nibble was stashed in cur_am when deferring
                 ml0 = jnp.where(pend, cur_am, ml0f)
                 has_ml = ml0 == 15
                 ml = jnp.where(has_ml, nev + 15, ml0) + 4
@@ -307,12 +379,11 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
 
                 # apply a fresh fetch
                 cur_ll = jnp.where(fetch, ll, cur_ll)
-                cur_src = jnp.where(fetch, lp1, cur_src)  # fresh: no CARRY_BIT
+                cur_src = jnp.where(fetch, lp1, cur_src)
                 cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
                 cur_off = jnp.where(fetch & jnp.logical_not(defer),
                                     jnp.maximum(off, 1), cur_off)
-                cur_am = jnp.where(fetch,
-                                   jnp.where(defer, ml0f, 0), cur_am)
+                cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
                 lit_p = jnp.where(
                     fetch,
                     jnp.where(defer, lp2,
@@ -358,11 +429,16 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
                 startv = startv + tm
                 fillv = fillv + tl + tm
 
-                # a finished slot (tail emitted, no run in flight) freezes;
-                # fillv keeps its true byte count
+                # a finished slot freezes; fillv keeps its true byte count
                 startv = jnp.where(
                     (cur_ll == 0) & (cur_ml == 0) & (alive == 0),
                     128, startv)
+                # a deferred slot whose offset is not yet resident stalls
+                # for the rest of this band (its literal half fills the
+                # band in the defer case, so this only fires post-jump)
+                startv = jnp.where(
+                    (cur_ll == 0) & (cur_ml == -1) &
+                    jnp.logical_not(covered), 128, startv)
                 return (startv, fillv, alive, cur_ll, cur_ml, cur_off,
                         cur_am, cur_src, lit_p, flag_p, enc)
 
@@ -382,8 +458,8 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
             is_lit = enc >= 0
             from_carry = is_lit & ((enc & CARRY_BIT) != 0)
             pos = enc & POS_MASK
-            lv_p = _byte_at(pwin, pos, _MASK_P, NT_P)
-            lv_c = _byte_at(cwin, pos, _MASK_C, NT_C)
+            lv_p = _byte_at(pfront, pos - fb_p, (1 << 30) - 1, NT_P)
+            lv_c = _byte_at(cfront, pos - fb_c, (1 << 30) - 1, NT_C)
             lv = jnp.where(from_carry, lv_c, lv_p)
             ridx = jnp.where(is_lit, 0, -enc - 1)
             rword = ridx >> 2
@@ -405,41 +481,57 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
                            jnp.full_like(band, 16)).astype(jnp.int32)
             src_lane = jnp.clip((lanes - 32 * ph) * 4, 0, 127)
             words = jnp.take_along_axis(p2, src_lane, axis=1)
-            cur_tile = ring[pl.ds(rt * 8, 8), :]
+            cur_tile = ring[pl.ds(rt_h * 8, 8), :]
             wmask = (lanes >= 32 * ph) & (lanes < 32 * ph + 32)
-            ring[pl.ds(rt * 8, 8), :] = jnp.where(wmask, words, cur_tile)
+            ring[pl.ds(rt_h * 8, 8), :] = jnp.where(wmask, words, cur_tile)
 
             return (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
                     lit_p, flag_p, emitted)
 
         carry = (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
                  lit_p, flag_p, emitted)
-        for ph in range(4):
-            carry = one_band(ph, carry)
+        for half in range(2):
+            rp_h = rp + half * 512
+            rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
+            rt_h = rp_h >> 9
+            for ph in range(4):
+                carry = one_band(ph, carry, rp_h, rt_h)
+            # flush this half's ring tile (1-deep pipelined)
+            @pl.when((sup + half) > 0)
+            def _(rt_h=rt_h, half=half):
+                rt_prev = jnp.where(rt_h == 0, rtiles - 1, rt_h - 1)
+                pltpu.make_async_copy(
+                    ring.at[pl.ds(rt_prev * 8, 8)],
+                    out_hbm.at[pl.ds((g * T + sup + half - 1) * 8, 8)],
+                    sems.at[2]).wait()
+            cp = pltpu.make_async_copy(
+                ring.at[pl.ds(rt_h * 8, 8)],
+                out_hbm.at[pl.ds((g * T + sup + half) * 8, 8)],
+                sems.at[2])
+            cp.start()
         (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p, flag_p,
          emitted) = carry
 
-        # ---------- flush the completed ring tile ----------
-        cp = pltpu.make_async_copy(
-            ring.at[pl.ds(rt * 8, 8)],
-            out_hbm.at[pl.ds((g * T + sup) * 8, 8)],
-            sems.at[1])
-        cp.start()
-        cp.wait()
-
-        rp2 = rp + 512
+        rp2 = rp + 1024
         rp2 = jnp.where(rp2 >= ring_bytes, rp2 - ring_bytes, rp2)
         return (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
                 flag_p, lit_len, flag_len, lit_row0, flag_row0, emitted, rp2)
 
     z = jnp.zeros((8, 128), jnp.int32)
     st = (z, z, z, z + 1, z, z, z, z, z, z, z, z, z, jnp.int32(0))
-    st = jax.lax.fori_loop(0, T, super_body, st)
+    st = jax.lax.fori_loop(0, T // 2, super_body, st)
 
-    # final block's decoded length
+    # wait for the last flush, then store the final block's decoded length
+    rt_last = (st[13] >> 9)
+    rt_prev = jnp.where(rt_last == 0, rtiles - 1, rt_last - 1)
+    pltpu.make_async_copy(
+        ring.at[pl.ds(rt_prev * 8, 8)],
+        out_hbm.at[pl.ds((g * T + T - 1) * 8, 8)],
+        sems.at[2]).wait()
     ltile[:, :] = st[12]
     cp = pltpu.make_async_copy(
-        ltile.at[:], out_hbm.at[pl.ds((groups * T + (g * C + C - 1)) * 8, 8)],
+        ltile.at[:],
+        out_hbm.at[pl.ds((groups * T + (g * C + C - 1)) * 8, 8)],
         sems.at[1])
     cp.start()
     cp.wait()
@@ -457,13 +549,15 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((rtiles * 8, 128), jnp.int32),
+            pltpu.VMEM((NT_B * 8, 128), jnp.int32),
             pltpu.VMEM((NT_P * 8, 128), jnp.int32),
+            pltpu.VMEM((NT_CB * 8, 128), jnp.int32),
             pltpu.VMEM((NT_C * 8, 128), jnp.int32),
             pltpu.VMEM((NT_F * 8, 128), jnp.int32),
-            pltpu.VMEM((40, 128), jnp.int32),
+            pltpu.VMEM((64, 128), jnp.int32),
             pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.SMEM((8, 4), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((8, 5), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(

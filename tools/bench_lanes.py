@@ -54,10 +54,15 @@ def main():
 
     blocks = unpack_lane_output(np.asarray(out), lane, T)
     got = b"".join(blocks)
-    assert got == data, (
-        f"MISMATCH len {len(got)} vs {len(data)}: first diff "
-        f"{next((k for k in range(min(len(got), len(data))) if got[k] != data[k]), '?')}")
-    print("round-trip verified", flush=True)
+    if got == data:
+        print("round-trip verified", flush=True)
+    else:
+        import os
+        if os.environ.get("ABLATE") != "1":
+            raise AssertionError(
+                f"MISMATCH len {len(got)} vs {len(data)}: first diff "
+                f"{next((k for k in range(min(len(got), len(data))) if got[k] != data[k]), '?')}")
+        print("ABLATED RUN (mismatch expected)", flush=True)
 
     best = float("inf")
     total = 0.0
