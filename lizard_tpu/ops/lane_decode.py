@@ -87,14 +87,15 @@ def _lanes8():
     return jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
 
-def _gchain(win, word_idx, ntiles):
-    """win (ntiles*8,128) i32: tile k rows [8k,8k+8) hold the 8 slots' words.
-    word_idx (8,128) in [0, ntiles*128). Per-element gather, chain-selected."""
+def _gchain(win, gbase, word_idx, ntiles):
+    """win: tile k of this group at rows [(gbase+k)*8, +8). word_idx (8,128)
+    in [0, ntiles*128). Per-element gather, chain-selected."""
     sub = word_idx & 127
     t = word_idx >> 7
     r = jnp.zeros((8, 128), jnp.int32)
     for k in range(ntiles):
-        g = jnp.take_along_axis(win[8 * k:8 * k + 8, :], sub, axis=1)
+        row0 = (gbase + k) * 8
+        g = jnp.take_along_axis(win[row0:row0 + 8, :], sub, axis=1)
         r = jnp.where(t == k, g, r)
     return r
 
@@ -107,23 +108,20 @@ def _shr(x, n):
     return jax.lax.shift_right_logical(x, n.astype(jnp.uint32))
 
 
-def _funnel4(win, byte_pos, mask, ntiles):
-    """uint32 of the 4 LE bytes at per-slot stream position byte_pos,
-    read from a circular word window."""
-    rel = byte_pos & mask
-    w0 = rel >> 2
-    nwords = ntiles * 128
-    a = _gchain(win, w0, ntiles).astype(jnp.uint32)
-    b = _gchain(win, (w0 + 1) & (nwords - 1), ntiles).astype(jnp.uint32)
+def _funnel4(win, gbase, byte_pos, ntiles):
+    """uint32 of the 4 LE bytes at per-slot window-relative byte_pos."""
+    w0 = byte_pos >> 2
+    a = _gchain(win, gbase, w0, ntiles).astype(jnp.uint32)
+    b = _gchain(win, gbase, w0 + 1, ntiles).astype(jnp.uint32)
     sh = ((byte_pos & 3) << 3)
     lo = _shr(a, sh)
     hi = jnp.where(sh == 0, jnp.uint32(0), _shl(b, (32 - sh) & 31))
     return lo | hi
 
 
-def _byte_at(win, byte_pos, mask, ntiles):
+def _byte_at(win, gbase, byte_pos, mask, ntiles):
     rel = byte_pos & mask
-    w = _gchain(win, rel >> 2, ntiles).astype(jnp.uint32)
+    w = _gchain(win, gbase, rel >> 2, ntiles).astype(jnp.uint32)
     return (_shr(w, (byte_pos & 3) << 3) & 255).astype(jnp.int32)
 
 
@@ -155,118 +153,126 @@ def _meta_row(meta_ref, row, g):
     return jnp.take_along_axis(b, idx, axis=1)
 
 
-def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
-                     ring, pback, pfront, cback, cfront, fback, bounce,
-                     ltile, trk, sems):
-    g = pl.program_id(0)
+# per-group while-loop state: 11 arrays
+_NST = 11
+
+
+def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
+                     out_hbm, ring, pback, cback, fback, pfront, cfront,
+                     bounce, ltile, trk, sems):
+    gi = pl.program_id(0)
+    g0 = gi * il
     lanes = _lanes8()
     ring_bytes = rtiles * 512
     R = pool_hbm.shape[0]
-
-    def rebuild_front(front, back, fb, nt_front, back_mask):
-        """Rebuild a front window (nt_front tiles) from the backing window by
-        vector gathers: front byte j == stream byte fb+j (fb: (8,128), &~511).
-        Pure vector work -- no DMA, no scalar."""
-        nback = (back_mask + 1) // 512
-        for j in range(nt_front):
-            widx = (((fb & back_mask) >> 2) + j * 128 + lanes) & \
-                   (nback * 128 - 1)
-            front[j * 8:(j + 1) * 8, :] = _gchain(back, widx, nback)
+    JR_P = (LA_P >> 9) + 2
+    JR_C = (LA_C >> 9) + 2
+    JR_F = (LA_F >> 9) + 2
+    # bounce rows per group i: i*48 + [0:8 lit_p, 8:16 csrc, 16:24 flag_p,
+    #                                 24:32 fill_p, 32:40 fill_c, 40:48 fill_f]
+    BPTR, BFILL = 0, 24
 
     def super_body(pair, st):
         sup = pair * 2
-        (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p, flag_p,
-         lit_len, flag_len, lit_row0, flag_row0, emitted, rp) = st
+        gs, rp = st   # gs: tuple of il per-group state tuples (13 arrays)
 
-        # ---- block transition every spb supers ----
         c = sup // spb
         at_boundary = (sup % spb) == 0
 
         @pl.when(at_boundary & (sup > 0))
         def _():
-            ltile[:, :] = emitted
-            cp = pltpu.make_async_copy(
-                ltile.at[:],
-                out_hbm.at[pl.ds((groups * T + (g * C + c - 1)) * 8, 8)],
-                sems.at[1])
-            cp.start()
-            cp.wait()
+            for i in range(il):
+                ltile[pl.ds(i * 8, 8), :] = gs[i][12]
+            for i in range(il):
+                cp = pltpu.make_async_copy(
+                    ltile.at[pl.ds(i * 8, 8)],
+                    out_hbm.at[pl.ds(
+                        (groups * T + ((g0 + i) * C + c - 1)) * 8, 8)],
+                    sems.at[1])
+                cp.start()
+                cp.wait()
 
-        flag_row0_nxt = _meta_row(meta_ref, c, g)
-        lit_row0_nxt = _meta_row(meta_ref, 2 * C + c, g)
+        new_gs = []
+        for i in range(il):
+            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
+             flag_p, lit_len, flag_len, lit_row0, flag_row0, emitted) = gs[i]
 
-        def do_transition(_):
-            f_row0 = flag_row0_nxt
-            f_len = _meta_row(meta_ref, C + c, g)
-            l_row0 = lit_row0_nxt
-            l_len = _meta_row(meta_ref, 3 * C + c, g)
-            has = (l_len >= 0).astype(jnp.int32)
-            z = jnp.zeros((8, 128), jnp.int32)
-            return (has, z, z, jnp.ones((8, 128), jnp.int32), z, z, z, z,
-                    jnp.maximum(l_len, 0), jnp.maximum(f_len, 0),
-                    l_row0, f_row0, z)
+            def do_transition(_, i=i):
+                f_row0 = _meta_row(meta_ref, c, g0 + i)
+                f_len = _meta_row(meta_ref, C + c, g0 + i)
+                l_row0 = _meta_row(meta_ref, 2 * C + c, g0 + i)
+                l_len = _meta_row(meta_ref, 3 * C + c, g0 + i)
+                has = (l_len >= 0).astype(jnp.int32)
+                z = jnp.zeros((8, 128), jnp.int32)
+                return (has, z, z, jnp.ones((8, 128), jnp.int32), z, z, z, z,
+                        jnp.maximum(l_len, 0), jnp.maximum(f_len, 0),
+                        l_row0, f_row0, z)
 
-        def no_transition(_):
-            return (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-                    flag_p, lit_len, flag_len, lit_row0, flag_row0, emitted)
+            def no_transition(_, t=gs[i]):
+                return t
 
-        (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p, flag_p,
-         lit_len, flag_len, lit_row0, flag_row0, emitted) = jax.lax.cond(
-            at_boundary, do_transition, no_transition, 0)
+            new_gs.append(jax.lax.cond(at_boundary, do_transition,
+                                       no_transition, 0))
+        gs = tuple(new_gs)
 
         @pl.when(at_boundary)
         def _():
-            bounce[24:32, :] = lit_row0_nxt
-            bounce[32:40, :] = flag_row0_nxt
+            for i in range(il):
+                bounce[pl.ds(i * 48 + BPTR, 8), :] = gs[i][10]      # lit_row0
+                bounce[pl.ds(i * 48 + BPTR + 8, 8), :] = gs[i][11]  # flag_row0
+                bounce[pl.ds(i * 48 + BFILL, 24), :] = jnp.zeros(
+                    (24, 128), jnp.int32)
 
             def rs(sl, k):
+                i = sl // 8
                 trk[sl, 0] = 0
                 trk[sl, 1] = 0
                 trk[sl, 2] = 0
-                trk[sl, 3] = bounce[24 + sl, 0]
-                trk[sl, 4] = bounce[32 + sl, 0]
+                trk[sl, 3] = bounce[i * 48 + BPTR + (sl & 7), 0]
+                trk[sl, 4] = bounce[i * 48 + BPTR + 8 + (sl & 7), 0]
                 return k
-            jax.lax.fori_loop(0, 8, rs, 0)
-            bounce[40:64, :] = jnp.zeros((24, 128), jnp.int32)
+            jax.lax.fori_loop(0, il * 8, rs, 0)
 
-        # ---- per-super window refills (vector-decided, scalar-issued) ----
-        # delta rows per slot per stream, 4 bits each, packed into one i32
-        # by a row-weighted reduce; sentinel 15 = pointer jumped past the
-        # backing window (scalar side re-reads the pointer from `bounce`).
+        # ---- per-super-pair window refills (vector-decided) ----
         def deltas(ptr, fill, la, jr):
             frow = fill >> 9
             want = ((ptr + la) >> 9) + 1
             jump = (ptr >> 9) > frow
             d = jnp.clip(want - frow, 0, DCAP)
             d = jnp.where(jump, 15, d)
-            nfill = jnp.where(jump, ((ptr >> 9) + jr) << 9,
-                              jnp.maximum(fill, jnp.minimum(want, frow + d) << 9))
+            nfill = jnp.where(
+                jump, ((ptr >> 9) + jr) << 9,
+                jnp.maximum(fill, jnp.minimum(want, frow + d) << 9))
             return d, nfill
 
-        JR_P = (LA_P >> 9) + 2
-        JR_C = (LA_C >> 9) + 2
-        JR_F = (LA_F >> 9) + 2
-        csrc = cur_src & POS_MASK
-        d_p, fill_p = deltas(lit_p, bounce[40:48, :], LA_P, JR_P)
-        d_c, fill_c = deltas(csrc, bounce[48:56, :], LA_C, JR_C)
-        d_f, fill_f = deltas(flag_p, bounce[56:64, :], LA_F, JR_F)
-        bounce[40:48, :] = fill_p
-        bounce[48:56, :] = fill_c
-        bounce[56:64, :] = fill_f
         shmt = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 4
         lane0 = lanes == 0
-        pk_p = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_p, shmt), 0))
-        pk_c = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_c, shmt), 0))
-        pk_f = jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_f, shmt), 0))
-        bounce[0:8, :] = lit_p
-        bounce[8:16, :] = csrc
-        bounce[16:24, :] = flag_p
+        pks = []
+        for i in range(il):
+            lit_p, flag_p, cur_src = gs[i][6], gs[i][7], gs[i][5]
+            csrc = cur_src & POS_MASK
+            fp0 = bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :]
+            fc0 = bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :]
+            ff0 = bounce[i * 48 + BFILL + 16:i * 48 + BFILL + 24, :]
+            d_p, fill_p = deltas(lit_p, fp0, LA_P, JR_P)
+            d_c, fill_c = deltas(csrc, fc0, LA_C, JR_C)
+            d_f, fill_f = deltas(flag_p, ff0, LA_F, JR_F)
+            bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :] = fill_p
+            bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :] = fill_c
+            bounce[i * 48 + BFILL + 16:i * 48 + BFILL + 24, :] = fill_f
+            bounce[i * 48 + BPTR:i * 48 + BPTR + 8, :] = lit_p
+            bounce[i * 48 + BPTR + 8:i * 48 + BPTR + 16, :] = csrc
+            bounce[i * 48 + BPTR + 16:i * 48 + BPTR + 24, :] = flag_p
+            pks.append((
+                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_p, shmt), 0)),
+                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_c, shmt), 0)),
+                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_f, shmt), 0))))
 
-        def issue(sl, win, nt, row0, f_rows, d, jr, ptr_row):
-            """Issue d row-DMAs for slot sl (d==15: jump)."""
+        def issue(sl, win, gbase, nt, row0, f_rows, d, jr, ptr_row):
             def dojump(_):
-                pr = bounce[ptr_row + sl, 0] >> 9
+                pr = bounce[ptr_row, 0] >> 9
                 return pr, pr + jr
+
             def nojump(_):
                 return f_rows, f_rows + d
             r0, r1 = jax.lax.cond(d == 15, dojump, nojump, 0)
@@ -274,289 +280,319 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, pool_hbm, meta_ref, out_hbm,
             def body(r, k):
                 cp = pltpu.make_async_copy(
                     pool_hbm.at[pl.ds(jnp.minimum(row0 + r, R - 1), 1)],
-                    win.at[pl.ds((r & (nt - 1)) * 8 + sl, 1)],
+                    win.at[pl.ds((gbase + (r & (nt - 1))) * 8 + (sl & 7), 1)],
                     sems.at[0])
                 cp.start()
                 return k + 1
             return jax.lax.fori_loop(r0, r1, body, 0), r1
 
-        def per_slot(sl, k):
-            lr0 = trk[sl, 3]
-            fr0 = trk[sl, 4]
-            dp = (pk_p >> (sl * 4)) & 15
-            n0, trk[sl, 0] = issue(sl, pback, NT_B, lr0, trk[sl, 0], dp,
-                                   JR_P, 0)
-            dc = (pk_c >> (sl * 4)) & 15
-            n1, trk[sl, 1] = issue(sl, cback, NT_CB, lr0, trk[sl, 1], dc,
-                                   JR_C, 8)
-            df = (pk_f >> (sl * 4)) & 15
-            n2, trk[sl, 2] = issue(sl, fback, NT_F, fr0, trk[sl, 2], df,
-                                   JR_F, 16)
-            return k + n0 + n1 + n2
-        n_dma = jax.lax.fori_loop(0, 8, per_slot, 0)
+        n_dma = jnp.int32(0)
+        for i in range(il):
+            pk_p, pk_c, pk_f = pks[i]
 
-        # wait for all refill DMAs at once (transfers overlap)
-        def wait_one(i, k):
+            def per_slot(s8, k, i=i, pk_p=pk_p, pk_c=pk_c, pk_f=pk_f):
+                sl = i * 8 + s8
+                lr0 = trk[sl, 3]
+                fr0 = trk[sl, 4]
+                dp = (pk_p >> (s8 * 4)) & 15
+                n0, trk[sl, 0] = issue(sl, pback, i * NT_B, NT_B, lr0,
+                                       trk[sl, 0], dp, JR_P,
+                                       i * 48 + BPTR + s8)
+                dc = (pk_c >> (s8 * 4)) & 15
+                n1, trk[sl, 1] = issue(sl, cback, i * NT_CB, NT_CB, lr0,
+                                       trk[sl, 1], dc, JR_C,
+                                       i * 48 + BPTR + 8 + s8)
+                df = (pk_f >> (s8 * 4)) & 15
+                n2, trk[sl, 2] = issue(sl, fback, i * NT_F, NT_F, fr0,
+                                       trk[sl, 2], df, JR_F,
+                                       i * 48 + BPTR + 16 + s8)
+                return k + n0 + n1 + n2
+            n_dma = jax.lax.fori_loop(0, 8, per_slot, n_dma)
+
+        def wait_one(k, x):
             pltpu.make_async_copy(
                 pool_hbm.at[pl.ds(0, 1)], pback.at[pl.ds(0, 1)],
                 sems.at[0]).wait()
-            return k
+            return x
         jax.lax.fori_loop(0, n_dma, wait_one, 0)
 
-        def one_band(ph, carry, rp_h, rt_h):
+        # ------------------------------------------------ band machinery
+        def band_prologue(i, stt):
             (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-             flag_p, emitted) = carry
-
-            band_rp = rp_h + ph * BAND
-            lit_p0 = lit_p
+             flag_p, emitted) = stt
             fb_p = lit_p & ~511
-            rebuild_front(pfront, pback, fb_p, NT_P, _MASK_B)
-            # carry front: normally from the carry backing; right after a
-            # literal-run jump (fresh run far ahead of the carry backing)
-            # the positions are still close to lit_p, so fall back to the
-            # parse backing until the carry backing catches up.
+            for j in range(NT_P):
+                widx = ((((fb_p[0:8] & _MASK_B) >> 2) + j * 128 + lanes)
+                        & (NT_B * 128 - 1))
+                pfront[(i * NT_P + j) * 8:(i * NT_P + j) * 8 + 8, :] = \
+                    _gchain(pback, i * NT_B, widx, NT_B)
             fb_c = (cur_src & POS_MASK) & ~511
-            cov_c = (fb_c + NT_C * 512) <= bounce[48:56, :]
+            fill_c = bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :]
+            cov_c = (fb_c + NT_C * 512) <= fill_c
             for j in range(NT_C):
                 wc = ((((fb_c & _MASK_CB) >> 2) + j * 128 + lanes)
                       & (NT_CB * 128 - 1))
-                vc = _gchain(cback, wc, NT_CB)
+                vc = _gchain(cback, i * NT_CB, wc, NT_CB)
                 wp = ((((fb_c & _MASK_B) >> 2) + j * 128 + lanes)
                       & (NT_B * 128 - 1))
-                vp = _gchain(pback, wp, NT_B)
-                cfront[j * 8:(j + 1) * 8, :] = jnp.where(cov_c, vc, vp)
-            covered = (fb_p + NT_P * 512) <= bounce[40:48, :]
+                vp = _gchain(pback, i * NT_B, wp, NT_B)
+                cfront[(i * NT_C + j) * 8:(i * NT_C + j) * 8 + 8, :] = \
+                    jnp.where(cov_c, vc, vp)
+            fill_p = bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :]
+            covered = (fb_p + NT_P * 512) <= fill_p
+            return fb_p, fb_c, covered
 
-            # ---------- idx build ----------
-            def w_cond(st_):
-                startv = st_[0]
-                return jnp.any(startv[:, 0:1] < 128)
+        def w_body_single(i, ctx, band_rp, stt):
+            fb_p, fb_c, covered, lit_p0, lit_len, flag_len = ctx
+            (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
+             cur_src, lit_p, flag_p, enc) = stt
+            space = 128 - startv
 
-            def w_body(st_):
-                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, enc) = st_
-                space = 128 - startv
+            aliveb = alive != 0
+            pend = (aliveb & (cur_ml == -1) & (cur_ll == 0) &
+                    (space > 0) & covered)
+            need = aliveb & (cur_ll == 0) & (cur_ml == 0) & (space > 0)
+            exhausted = flag_p >= flag_len
+            tail = need & exhausted
+            fetch = need & jnp.logical_not(exhausted)
 
-                aliveb = alive != 0
-                pend = (aliveb & (cur_ml == -1) & (cur_ll == 0) &
-                        (space > 0) & covered)
-                need = aliveb & (cur_ll == 0) & (cur_ml == 0) & (space > 0)
-                exhausted = flag_p >= flag_len
-                tail = need & exhausted
-                fetch = need & jnp.logical_not(exhausted)
+            flag = _byte_at(fback, i * NT_F, flag_p, _MASK_F, NT_F)
+            ll0 = flag & 15
+            F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
+            ev, en = _ext_from(F1)
+            has_ll = ll0 == 15
+            ll = jnp.where(has_ll, ev + 15, ll0)
+            lp1 = lit_p + jnp.where(has_ll, en, 0)
+            lp2 = lp1 + ll
+            defer = lp2 > lit_p0 + DEFER_TH
+            mpos = jnp.where(pend, lit_p, lp2)
+            G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+            G3 = _funnel4(pfront, i * NT_P, mpos + 4 - fb_p, NT_P)
+            off = (G2 & 0xFFFF).astype(jnp.int32)
+            n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
+            nrest = (_shr(G2, jnp.full_like(off, 24)) |
+                     _shl(G3, jnp.full_like(off, 8)))
+            nv16 = (nrest & 0xFFFF).astype(jnp.int32)
+            nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
+            nev = jnp.where(n0 < 254, n0, jnp.where(n0 == 254, nv16, nv24))
+            nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
+            ml0f = flag >> 4
+            ml0 = jnp.where(pend, cur_am, ml0f)
+            has_ml = ml0 == 15
+            ml = jnp.where(has_ml, nev + 15, ml0) + 4
 
-                flag = _byte_at(fback, flag_p, _MASK_F, NT_F)
-                ll0 = flag & 15
-                F1 = _funnel4(pfront, lit_p - fb_p, (1 << 30) - 1, NT_P)
-                ev, en = _ext_from(F1)
-                has_ll = ll0 == 15
-                ll = jnp.where(has_ll, ev + 15, ll0)
-                lp1 = lit_p + jnp.where(has_ll, en, 0)
-                lp2 = lp1 + ll
-                defer = lp2 > lit_p0 + DEFER_TH
-                mpos = jnp.where(pend, lit_p, lp2)
-                G2 = _funnel4(pfront, mpos - fb_p, (1 << 30) - 1, NT_P)
-                G3 = _funnel4(pfront, mpos + 4 - fb_p, (1 << 30) - 1, NT_P)
-                off = (G2 & 0xFFFF).astype(jnp.int32)
-                n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
-                nrest = (_shr(G2, jnp.full_like(off, 24)) |
-                         _shl(G3, jnp.full_like(off, 8)))
-                nv16 = (nrest & 0xFFFF).astype(jnp.int32)
-                nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
-                nev = jnp.where(n0 < 254, n0, jnp.where(n0 == 254, nv16, nv24))
-                nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
-                ml0f = flag >> 4
-                ml0 = jnp.where(pend, cur_am, ml0f)
-                has_ml = ml0 == 15
-                ml = jnp.where(has_ml, nev + 15, ml0) + 4
+            cur_ml = jnp.where(pend, ml, cur_ml)
+            cur_off = jnp.where(pend, jnp.maximum(off, 1), cur_off)
+            lit_p = jnp.where(
+                pend, lit_p + 2 + jnp.where(has_ml, nen, 0), lit_p)
+            cur_am = jnp.where(pend, 0, cur_am)
 
-                # resolve a deferred match
-                cur_ml = jnp.where(pend, ml, cur_ml)
-                cur_off = jnp.where(pend, jnp.maximum(off, 1), cur_off)
-                lit_p = jnp.where(
-                    pend, lit_p + 2 + jnp.where(has_ml, nen, 0), lit_p)
-                cur_am = jnp.where(pend, 0, cur_am)
+            cur_ll = jnp.where(fetch, ll, cur_ll)
+            cur_src = jnp.where(fetch, lp1, cur_src)
+            cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
+            cur_off = jnp.where(fetch & jnp.logical_not(defer),
+                                jnp.maximum(off, 1), cur_off)
+            cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
+            lit_p = jnp.where(
+                fetch,
+                jnp.where(defer, lp2, lp2 + 2 + jnp.where(has_ml, nen, 0)),
+                lit_p)
+            flag_p = jnp.where(fetch, flag_p + 1, flag_p)
 
-                # apply a fresh fetch
-                cur_ll = jnp.where(fetch, ll, cur_ll)
-                cur_src = jnp.where(fetch, lp1, cur_src)
-                cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
-                cur_off = jnp.where(fetch & jnp.logical_not(defer),
-                                    jnp.maximum(off, 1), cur_off)
-                cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
-                lit_p = jnp.where(
-                    fetch,
-                    jnp.where(defer, lp2,
-                              lp2 + 2 + jnp.where(has_ml, nen, 0)),
-                    lit_p)
-                flag_p = jnp.where(fetch, flag_p + 1, flag_p)
+            tail_ll = jnp.maximum(lit_len - lit_p, 0)
+            cur_ll = jnp.where(tail, tail_ll, cur_ll)
+            cur_src = jnp.where(tail, lit_p, cur_src)
+            lit_p = jnp.where(tail, lit_len, lit_p)
+            alive = jnp.where(tail, 0, alive)
 
-                # tail: remaining literal stream, then the slot is done
-                tail_ll = jnp.maximum(lit_len - lit_p, 0)
-                cur_ll = jnp.where(tail, tail_ll, cur_ll)
-                cur_src = jnp.where(tail, lit_p, cur_src)
-                lit_p = jnp.where(tail, lit_len, lit_p)
-                alive = jnp.where(tail, 0, alive)
+            live_run = cur_ll > 0
+            tl = jnp.clip(cur_ll, 0, space) * live_run
+            m_l = (lanes >= startv) & (lanes < startv + tl)
+            enc = jnp.where(m_l, cur_src + (lanes - startv), enc)
+            cur_src = cur_src + tl
+            cur_ll = cur_ll - tl
+            startv = startv + tl
+            space = 128 - startv
 
-                # -- place the literal part --
-                live_run = cur_ll > 0
-                tl = jnp.clip(cur_ll, 0, space) * live_run
-                m_l = (lanes >= startv) & (lanes < startv + tl)
-                enc = jnp.where(m_l, cur_src + (lanes - startv), enc)
-                cur_src = cur_src + tl
-                cur_ll = cur_ll - tl
-                startv = startv + tl
-                space = 128 - startv
+            live_m = (cur_ml > 0) & (cur_ll == 0)
+            tm = jnp.clip(cur_ml, 0, space) * live_m
+            d = jnp.clip(lanes - startv, 0, 1 << 17)
+            rmod = _mod(d, cur_off)
+            src_band = startv - cur_off + rmod
+            inb = src_band >= 0
+            ring_idx = band_rp + src_band
+            ring_idx = jnp.where(ring_idx < 0, ring_idx + ring_bytes,
+                                 ring_idx)
+            ring_idx = jnp.where(ring_idx >= ring_bytes,
+                                 ring_idx - ring_bytes, ring_idx)
+            copied = jnp.take_along_axis(enc, jnp.clip(src_band, 0, 127),
+                                         axis=1)
+            encm = jnp.where(inb, copied, -ring_idx - 1)
+            m_m = (lanes >= startv) & (lanes < startv + tm)
+            enc = jnp.where(m_m, encm, enc)
+            cur_ml = jnp.where(live_m, cur_ml - tm, cur_ml)
+            startv = startv + tm
+            fillv = fillv + tl + tm
 
-                # -- place the match part --
-                live_m = (cur_ml > 0) & (cur_ll == 0)
-                tm = jnp.clip(cur_ml, 0, space) * live_m
-                d = jnp.clip(lanes - startv, 0, 1 << 17)
-                rmod = _mod(d, cur_off)
-                src_band = startv - cur_off + rmod   # nearest pre-image
-                inb = src_band >= 0
-                ring_idx = band_rp + src_band
-                ring_idx = jnp.where(ring_idx < 0, ring_idx + ring_bytes,
-                                     ring_idx)
-                ring_idx = jnp.where(ring_idx >= ring_bytes,
-                                     ring_idx - ring_bytes, ring_idx)
-                copied = jnp.take_along_axis(
-                    enc, jnp.clip(src_band, 0, 127), axis=1)
-                encm = jnp.where(inb, copied, -ring_idx - 1)
-                m_m = (lanes >= startv) & (lanes < startv + tm)
-                enc = jnp.where(m_m, encm, enc)
-                cur_ml = jnp.where(live_m, cur_ml - tm, cur_ml)
-                startv = startv + tm
-                fillv = fillv + tl + tm
+            startv = jnp.where(
+                (cur_ll == 0) & (cur_ml == 0) & (alive == 0), 128, startv)
+            startv = jnp.where(
+                (cur_ll == 0) & (cur_ml == -1) & jnp.logical_not(covered),
+                128, startv)
+            return (startv, fillv, alive, cur_ll, cur_ml, cur_off,
+                    cur_am, cur_src, lit_p, flag_p, enc)
 
-                # a finished slot freezes; fillv keeps its true byte count
-                startv = jnp.where(
-                    (cur_ll == 0) & (cur_ml == 0) & (alive == 0),
-                    128, startv)
-                # a deferred slot whose offset is not yet resident stalls
-                # for the rest of this band (its literal half fills the
-                # band in the defer case, so this only fires post-jump)
-                startv = jnp.where(
-                    (cur_ll == 0) & (cur_ml == -1) &
-                    jnp.logical_not(covered), 128, startv)
-                return (startv, fillv, alive, cur_ll, cur_ml, cur_off,
-                        cur_am, cur_src, lit_p, flag_p, enc)
-
-            pend0 = (cur_ll > 0) | (cur_ml != 0) | (alive != 0)
-            startv0 = jnp.where(pend0, 0, 128)
-            init = (startv0, jnp.zeros((8, 128), jnp.int32), alive, cur_ll,
-                    cur_ml, cur_off, cur_am,
-                    cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
-                    lit_p, flag_p,
-                    jnp.zeros((8, 128), jnp.int32))
-            (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
-             lit_p, flag_p, enc) = jax.lax.while_loop(w_cond, w_body, init)
-            cur_src = cur_src & POS_MASK
-            emitted = emitted + fillv
-
-            # ---------- band emit ----------
+        def band_emit(i, ctx, rt_h, ph, wst):
+            fb_p, fb_c, covered, lit_p0, lit_len, flag_len = ctx
+            (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
+             cur_src, lit_p, flag_p, enc) = wst
             is_lit = enc >= 0
             from_carry = is_lit & ((enc & CARRY_BIT) != 0)
             pos = enc & POS_MASK
-            lv_p = _byte_at(pfront, pos - fb_p, (1 << 30) - 1, NT_P)
-            lv_c = _byte_at(cfront, pos - fb_c, (1 << 30) - 1, NT_C)
+            lv_p = _byte_at(pfront, i * NT_P, pos - fb_p, (1 << 30) - 1, NT_P)
+            lv_c = _byte_at(cfront, i * NT_C, pos - fb_c, (1 << 30) - 1, NT_C)
             lv = jnp.where(from_carry, lv_c, lv_p)
             ridx = jnp.where(is_lit, 0, -enc - 1)
-            rword = ridx >> 2
-            rsub = rword & 127
-            rtile = rword >> 7
-            rv = jnp.zeros((8, 128), jnp.int32)
-            for k in range(rtiles):
-                gk = jnp.take_along_axis(ring[8 * k:8 * k + 8, :], rsub,
-                                         axis=1)
-                rv = jnp.where(rtile == k, gk, rv)
+            rv = _gchain(ring, i * rtiles, ridx >> 2, rtiles)
             rbyte = (_shr(rv.astype(jnp.uint32), (ridx & 3) << 3)
                      & 255).astype(jnp.int32)
             band = jnp.where(is_lit, lv & 255, rbyte)
 
-            # ---------- pack bytes -> words, write ring quarter-tile ------
             p1 = band | _shl(pltpu.roll(band, 127, 1).astype(jnp.uint32),
                              jnp.full_like(band, 8)).astype(jnp.int32)
             p2 = p1 | _shl(pltpu.roll(p1, 126, 1).astype(jnp.uint32),
                            jnp.full_like(band, 16)).astype(jnp.int32)
             src_lane = jnp.clip((lanes - 32 * ph) * 4, 0, 127)
             words = jnp.take_along_axis(p2, src_lane, axis=1)
-            cur_tile = ring[pl.ds(rt_h * 8, 8), :]
+            row = (i * rtiles + rt_h) * 8
+            cur_tile = ring[pl.ds(row, 8), :]
             wmask = (lanes >= 32 * ph) & (lanes < 32 * ph + 32)
-            ring[pl.ds(rt_h * 8, 8), :] = jnp.where(wmask, words, cur_tile)
+            ring[pl.ds(row, 8), :] = jnp.where(wmask, words, cur_tile)
 
-            return (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
-                    lit_p, flag_p, emitted)
+        def one_band(ph, carries, rp_h, rt_h):
+            band_rp = rp_h + ph * BAND
+            ctxs = []
+            inits = []
+            for i in range(il):
+                (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
+                 flag_p, emitted) = carries[i]
+                fb_p, fb_c, covered = band_prologue(i, carries[i])
+                ctxs.append((fb_p, fb_c, covered, lit_p,
+                             gs[i][8], gs[i][9]))
+                pend0 = (cur_ll > 0) | (cur_ml != 0) | (alive != 0)
+                startv0 = jnp.where(pend0, 0, 128)
+                inits.extend((
+                    startv0, jnp.zeros((8, 128), jnp.int32), alive, cur_ll,
+                    cur_ml, cur_off, cur_am,
+                    cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
+                    lit_p, flag_p, jnp.zeros((8, 128), jnp.int32)))
 
-        carry = (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
-                 lit_p, flag_p, emitted)
+            def w_cond(flat):
+                cnd = flat[0][:, 0:1] < 128
+                for i in range(1, il):
+                    cnd = cnd | (flat[i * _NST][:, 0:1] < 128)
+                return jnp.any(cnd)
+
+            def w_body(flat):
+                outs = []
+                for i in range(il):
+                    outs.extend(w_body_single(
+                        i, ctxs[i], band_rp, flat[i * _NST:(i + 1) * _NST]))
+                return tuple(outs)
+
+            flat = jax.lax.while_loop(w_cond, w_body, tuple(inits))
+            new_carries = []
+            for i in range(il):
+                wst = flat[i * _NST:(i + 1) * _NST]
+                band_emit(i, ctxs[i], rt_h, ph, wst)
+                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
+                 cur_src, lit_p, flag_p, enc) = wst
+                emitted = carries[i][8] + fillv
+                new_carries.append((alive, cur_ll, cur_ml, cur_off, cur_am,
+                                    cur_src & POS_MASK, lit_p, flag_p,
+                                    emitted))
+            return new_carries
+
+        carries = [g[:8] + (g[12],) for g in gs]
         for half in range(2):
             rp_h = rp + half * 512
             rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
             rt_h = rp_h >> 9
             for ph in range(4):
-                carry = one_band(ph, carry, rp_h, rt_h)
-            # flush this half's ring tile (1-deep pipelined)
+                carries = one_band(ph, carries, rp_h, rt_h)
+
             @pl.when((sup + half) > 0)
             def _(rt_h=rt_h, half=half):
                 rt_prev = jnp.where(rt_h == 0, rtiles - 1, rt_h - 1)
-                pltpu.make_async_copy(
-                    ring.at[pl.ds(rt_prev * 8, 8)],
-                    out_hbm.at[pl.ds((g * T + sup + half - 1) * 8, 8)],
-                    sems.at[2]).wait()
-            cp = pltpu.make_async_copy(
-                ring.at[pl.ds(rt_h * 8, 8)],
-                out_hbm.at[pl.ds((g * T + sup + half) * 8, 8)],
-                sems.at[2])
-            cp.start()
-        (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p, flag_p,
-         emitted) = carry
+                for i in range(il):
+                    pltpu.make_async_copy(
+                        ring.at[pl.ds((i * rtiles + rt_prev) * 8, 8)],
+                        out_hbm.at[pl.ds(
+                            ((g0 + i) * T + sup + half - 1) * 8, 8)],
+                        sems.at[2]).wait()
+            for i in range(il):
+                cp = pltpu.make_async_copy(
+                    ring.at[pl.ds((i * rtiles + rt_h) * 8, 8)],
+                    out_hbm.at[pl.ds(((g0 + i) * T + sup + half) * 8, 8)],
+                    sems.at[2])
+                cp.start()
+
+        out_gs = []
+        for i in range(il):
+            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
+             flag_p, emitted) = carries[i]
+            out_gs.append((alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
+                           lit_p, flag_p, gs[i][8], gs[i][9], gs[i][10],
+                           gs[i][11], emitted))
 
         rp2 = rp + 1024
         rp2 = jnp.where(rp2 >= ring_bytes, rp2 - ring_bytes, rp2)
-        return (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-                flag_p, lit_len, flag_len, lit_row0, flag_row0, emitted, rp2)
+        return tuple(out_gs), rp2
 
     z = jnp.zeros((8, 128), jnp.int32)
-    st = (z, z, z, z + 1, z, z, z, z, z, z, z, z, z, jnp.int32(0))
-    st = jax.lax.fori_loop(0, T // 2, super_body, st)
+    g_init = (z, z, z, z + 1, z, z, z, z, z, z, z, z, z)
+    st = (tuple(g_init for _ in range(il)), jnp.int32(0))
+    gs_fin, rp_fin = jax.lax.fori_loop(0, T // 2, super_body, st)
 
-    # wait for the last flush, then store the final block's decoded length
-    rt_last = (st[13] >> 9)
+    rt_last = rp_fin >> 9
     rt_prev = jnp.where(rt_last == 0, rtiles - 1, rt_last - 1)
-    pltpu.make_async_copy(
-        ring.at[pl.ds(rt_prev * 8, 8)],
-        out_hbm.at[pl.ds((g * T + T - 1) * 8, 8)],
-        sems.at[2]).wait()
-    ltile[:, :] = st[12]
-    cp = pltpu.make_async_copy(
-        ltile.at[:],
-        out_hbm.at[pl.ds((groups * T + (g * C + C - 1)) * 8, 8)],
-        sems.at[1])
-    cp.start()
-    cp.wait()
+    for i in range(il):
+        pltpu.make_async_copy(
+            ring.at[pl.ds((i * rtiles + rt_prev) * 8, 8)],
+            out_hbm.at[pl.ds(((g0 + i) * T + T - 1) * 8, 8)],
+            sems.at[2]).wait()
+    for i in range(il):
+        ltile[pl.ds(i * 8, 8), :] = gs_fin[i][12]
+    for i in range(il):
+        cp = pltpu.make_async_copy(
+            ltile.at[pl.ds(i * 8, 8)],
+            out_hbm.at[pl.ds((groups * T + ((g0 + i) * C + C - 1)) * 8, 8)],
+            sems.at[1])
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("C", "T", "spb", "rtiles",
-                                              "groups", "interpret"))
-def _lane_call(pool, meta, C, T, spb, rtiles, groups, interpret=False):
-    kernel = functools.partial(_lz4_lane_kernel, C, T, spb, rtiles, groups)
+                                             "groups", "il", "interpret"))
+def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, interpret=False):
+    kernel = functools.partial(_lz4_lane_kernel, C, T, spb, rtiles, groups,
+                               il)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(groups,),
+        grid=(groups // il,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((rtiles * 8, 128), jnp.int32),
-            pltpu.VMEM((NT_B * 8, 128), jnp.int32),
-            pltpu.VMEM((NT_P * 8, 128), jnp.int32),
-            pltpu.VMEM((NT_CB * 8, 128), jnp.int32),
-            pltpu.VMEM((NT_C * 8, 128), jnp.int32),
-            pltpu.VMEM((NT_F * 8, 128), jnp.int32),
-            pltpu.VMEM((64, 128), jnp.int32),
-            pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.SMEM((8, 5), jnp.int32),
+            pltpu.VMEM((il * rtiles * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_B * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_CB * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_F * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_P * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_C * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 48, 128), jnp.int32),
+            pltpu.VMEM((il * 8, 128), jnp.int32),
+            pltpu.SMEM((il * 8, 5), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -639,7 +675,8 @@ def prepare_lane_batch(batch, groups=GROUPS) -> LaneBatch:
 
 
 def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
-                       rtiles=RING_TILES, groups=GROUPS) -> list[bytes]:
+                       rtiles=RING_TILES, groups=GROUPS,
+                       il=1) -> list[bytes]:
     """Decode a fastLZ4 BlockBatch with the lane kernel. Returns the decoded
     bytes of every block, in batch order.
 
@@ -653,7 +690,7 @@ def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
     T = lane.C * spb
     out = _lane_call(jnp.asarray(lane.pool), jnp.asarray(lane.meta),
                      C=lane.C, T=T, spb=spb, rtiles=rtiles, groups=groups,
-                     interpret=interpret)
+                     il=il, interpret=interpret)
     return unpack_lane_output(np.asarray(out), lane, T, spb=spb,
                               groups=groups)
 
@@ -677,13 +714,13 @@ def unpack_lane_output(out: np.ndarray, lane: LaneBatch, T: int,
 
 def decompress_lanes(streams: list[bytes], interpret=False,
                      spb=SUPERS_PER_BLOCK, rtiles=RING_TILES,
-                     groups=GROUPS) -> list[bytes]:
+                     groups=GROUPS, il=1) -> list[bytes]:
     """Decode independent fastLZ4 compressed streams; returns decoded bytes
     per stream."""
     from lizard_tpu.ops.split import split_streams
     batch = split_streams(streams)
     blocks = decode_batch_lanes(batch, interpret=interpret, spb=spb,
-                                rtiles=rtiles, groups=groups)
+                                rtiles=rtiles, groups=groups, il=il)
     outs = []
     i = 0
     for sid in range(int(batch.stream_id.max()) + 1 if batch.n_blocks else 0):

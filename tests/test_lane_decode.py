@@ -78,3 +78,14 @@ def test_far_offsets_cross_band():
     base = gen(1024, seed=7, proba=0.5)
     data = base + b"QQ" + base[:1000]      # off ~1026 matches
     roundtrip([data])
+
+
+def test_interleaved_groups():
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    from lizard_tpu.ref.block_encode import compress
+    datas = [gen(1500 + 37 * i, seed=40 + i, proba=0.7) for i in range(10)]
+    streams = [compress(d, 10) for d in datas]
+    outs = decompress_lanes(streams, interpret=True, spb=SPB, rtiles=RTILES,
+                            groups=2, il=2)
+    for want, got in zip(datas, outs):
+        assert got == want

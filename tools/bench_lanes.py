@@ -19,6 +19,7 @@ def main():
 
     mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     level = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    il = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     sys.path.insert(0, "tests")
     from oracle import _load, Oracle
@@ -47,10 +48,10 @@ def main():
 
     t0 = time.perf_counter()
     out = _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
-                     rtiles=RING_TILES, groups=GROUPS)
+                     rtiles=RING_TILES, groups=GROUPS, il=il)
     out.block_until_ready()
     t1 = time.perf_counter()
-    print(f"compile+first run {t1-t0:.1f}s", flush=True)
+    print(f"compile+first run {t1-t0:.1f}s il={il}", flush=True)
 
     blocks = unpack_lane_output(np.asarray(out), lane, T)
     got = b"".join(blocks)
@@ -70,7 +71,7 @@ def main():
     while total < 3.0:
         t0 = time.perf_counter()
         out = _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
-                         rtiles=RING_TILES, groups=GROUPS)
+                         rtiles=RING_TILES, groups=GROUPS, il=il)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = min(best, dt)
