@@ -442,7 +442,7 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             return (startv, fillv, alive, cur_ll, cur_ml, cur_off,
                     cur_am, cur_src, lit_p, flag_p, enc)
 
-        def band_emit(i, ctx, rt_h, ph, wst):
+        def band_emit(i, ctx, acc, rt_h, ph, wst):
             fb_p, fb_c, covered, lit_p0, lit_len, flag_len = ctx
             (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
              cur_src, lit_p, flag_p, enc) = wst
@@ -454,6 +454,11 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             lv = jnp.where(from_carry, lv_c, lv_p)
             ridx = jnp.where(is_lit, 0, -enc - 1)
             rv = _gchain(ring, i * rtiles, ridx >> 2, rtiles)
+            # bytes of this half's earlier bands live in `acc`, not the ring
+            in_acc = jnp.logical_not(is_lit) & ((ridx >> 9) == rt_h)
+            arel = ridx & 511
+            av = jnp.take_along_axis(acc, (arel >> 2) & 127, axis=1)
+            rv = jnp.where(in_acc, av, rv)
             rbyte = (_shr(rv.astype(jnp.uint32), (ridx & 3) << 3)
                      & 255).astype(jnp.int32)
             band = jnp.where(is_lit, lv & 255, rbyte)
@@ -464,12 +469,10 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                            jnp.full_like(band, 16)).astype(jnp.int32)
             src_lane = jnp.clip((lanes - 32 * ph) * 4, 0, 127)
             words = jnp.take_along_axis(p2, src_lane, axis=1)
-            row = (i * rtiles + rt_h) * 8
-            cur_tile = ring[pl.ds(row, 8), :]
             wmask = (lanes >= 32 * ph) & (lanes < 32 * ph + 32)
-            ring[pl.ds(row, 8), :] = jnp.where(wmask, words, cur_tile)
+            return jnp.where(wmask, words, acc)
 
-        def one_band(ph, carries, rp_h, rt_h):
+        def one_band(ph, carries, accs, rp_h, rt_h):
             band_rp = rp_h + ph * BAND
             ctxs = []
             inits = []
@@ -496,31 +499,36 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             def w_body(flat):
                 outs = []
                 for i in range(il):
-                    outs.extend(w_body_single(
-                        i, ctxs[i], band_rp, flat[i * _NST:(i + 1) * _NST]))
+                    # two tokens per iteration: amortizes the loop's
+                    # cross-unit any() reduce over twice the work
+                    sti = w_body_single(
+                        i, ctxs[i], band_rp, flat[i * _NST:(i + 1) * _NST])
+                    outs.extend(w_body_single(i, ctxs[i], band_rp, sti))
                 return tuple(outs)
 
             flat = jax.lax.while_loop(w_cond, w_body, tuple(inits))
             new_carries = []
+            new_accs = []
             for i in range(il):
                 wst = flat[i * _NST:(i + 1) * _NST]
-                band_emit(i, ctxs[i], rt_h, ph, wst)
+                new_accs.append(band_emit(i, ctxs[i], accs[i], rt_h, ph, wst))
                 (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
                  cur_src, lit_p, flag_p, enc) = wst
                 emitted = carries[i][8] + fillv
                 new_carries.append((alive, cur_ll, cur_ml, cur_off, cur_am,
                                     cur_src & POS_MASK, lit_p, flag_p,
                                     emitted))
-            return new_carries
+            return new_carries, new_accs
 
         carries = [g[:8] + (g[12],) for g in gs]
         for half in range(2):
             rp_h = rp + half * 512
             rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
             rt_h = rp_h >> 9
+            accs = [jnp.zeros((8, 128), jnp.int32) for _ in range(il)]
             for ph in range(4):
-                carries = one_band(ph, carries, rp_h, rt_h)
-
+                carries, accs = one_band(ph, carries, accs, rp_h, rt_h)
+            # store the accumulated tiles into the ring, flush to HBM
             @pl.when((sup + half) > 0)
             def _(rt_h=rt_h, half=half):
                 rt_prev = jnp.where(rt_h == 0, rtiles - 1, rt_h - 1)
@@ -530,6 +538,8 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                         out_hbm.at[pl.ds(
                             ((g0 + i) * T + sup + half - 1) * 8, 8)],
                         sems.at[2]).wait()
+            for i in range(il):
+                ring[pl.ds((i * rtiles + rt_h) * 8, 8), :] = accs[i]
             for i in range(il):
                 cp = pltpu.make_async_copy(
                     ring.at[pl.ds((i * rtiles + rt_h) * 8, 8)],
