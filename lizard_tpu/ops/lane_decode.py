@@ -64,9 +64,13 @@ NT_P = 2                     # parse FRONT window tiles (1 KB, vector-rebuilt)
 NT_CB = 8                    # carry backing tiles (4 KB)
 NT_C = 2                     # carry front tiles (1 KB)
 NT_F = 4                     # flags backing tiles (2 KB, read directly)
+NT_OB = 8                    # off16/off24 backing tiles (4 KB, LIZv1)
+NT_O = 2                     # off16/off24 front tiles (1 KB, LIZv1)
 LA_P = 5120                  # backing lookahead bytes per refill
 LA_C = 2560
 LA_F = 1024
+LA_O = 2560
+LIZ_RING_TILES = 257         # 257*512 = 131584 > 128 KB frame-block reach
 DEFER_TH = 480               # defer match fetch when lp2 > lit_p0 + DEFER_TH
 DCAP = 14                    # max refill rows per stream per super (15=jump)
 SUPERS_PER_BLOCK = 256       # 4 bands/super * 256 supers = 128 KB
@@ -81,6 +85,7 @@ _MASK_P = NT_P * 512 - 1
 _MASK_CB = NT_CB * 512 - 1
 _MASK_C = NT_C * 512 - 1
 _MASK_F = NT_F * 512 - 1
+_MASK_OB = NT_OB * 512 - 1
 
 
 def _lanes8():
@@ -157,24 +162,34 @@ def _meta_row(meta_ref, row, g):
 _NST = 11
 
 
-def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
-                     out_hbm, ring, pback, cback, fback, pfront, cfront,
-                     bounce, ltile, trk, sems):
+def _lane_kernel(C, T, spb, rtiles, groups, il, family,
+                 pool_hbm, meta_ref, out_hbm,
+                 ring, pback, cback, fback, o16back, o24back,
+                 pfront, cfront, o16front, o24front,
+                 bounce, ltile, trk, sems):
+    """family: 0 = fastLZ4 codewords, 1 = LIZv1 codewords."""
+    liz = family == 1
     gi = pl.program_id(0)
     g0 = gi * il
     lanes = _lanes8()
     ring_bytes = rtiles * 512
     R = pool_hbm.shape[0]
-    JR_P = (LA_P >> 9) + 2
-    JR_C = (LA_C >> 9) + 2
-    JR_F = (LA_F >> 9) + 2
-    # bounce rows per group i: i*48 + [0:8 lit_p, 8:16 csrc, 16:24 flag_p,
-    #                                 24:32 fill_p, 32:40 fill_c, 40:48 fill_f]
-    BPTR, BFILL = 0, 24
+    # streams: (la, jr); ptr/row0 wiring is positional (see below)
+    NSTR = 5 if liz else 3
+    LAs = [LA_P, LA_C, LA_F] + ([LA_O, LA_O] if liz else [])
+    JRs = [(la >> 9) + 2 for la in LAs]
+    BSTRIDE = 2 * NSTR * 8   # bounce rows per group: NSTR ptrs + NSTR fills
+    BFILL = NSTR * 8
+
+    # per-group state tuple layout
+    #  0 alive  1 cur_ll  2 cur_ml  3 cur_off  4 cur_am  5 cur_src
+    #  6 lit_p  7 flag_p  8 lit_len 9 flag_len 10 lit_row0 11 flag_row0
+    # 12 emitted [13 p16 14 p24 15 last_off 16 o16_row0 17 o24_row0]
+    NG = 18 if liz else 13
 
     def super_body(pair, st):
         sup = pair * 2
-        gs, rp = st   # gs: tuple of il per-group state tuples (13 arrays)
+        gs, rp = st
 
         c = sup // spb
         at_boundary = (sup % spb) == 0
@@ -194,9 +209,6 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
 
         new_gs = []
         for i in range(il):
-            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-             flag_p, lit_len, flag_len, lit_row0, flag_row0, emitted) = gs[i]
-
             def do_transition(_, i=i):
                 f_row0 = _meta_row(meta_ref, c, g0 + i)
                 f_len = _meta_row(meta_ref, C + c, g0 + i)
@@ -204,9 +216,14 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                 l_len = _meta_row(meta_ref, 3 * C + c, g0 + i)
                 has = (l_len >= 0).astype(jnp.int32)
                 z = jnp.zeros((8, 128), jnp.int32)
-                return (has, z, z, jnp.ones((8, 128), jnp.int32), z, z, z, z,
+                base = (has, z, z, jnp.ones((8, 128), jnp.int32), z, z, z, z,
                         jnp.maximum(l_len, 0), jnp.maximum(f_len, 0),
                         l_row0, f_row0, z)
+                if liz:
+                    o16r = _meta_row(meta_ref, 4 * C + c, g0 + i)
+                    o24r = _meta_row(meta_ref, 5 * C + c, g0 + i)
+                    base = base + (z, z, z, o16r, o24r)
+                return base
 
             def no_transition(_, t=gs[i]):
                 return t
@@ -215,21 +232,30 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                                        no_transition, 0))
         gs = tuple(new_gs)
 
+        def g_ptrs(gstate):
+            """stream pointers + row0 values, positionally per stream."""
+            ptrs = [gstate[6], gstate[5] & POS_MASK, gstate[7]]
+            row0s = [gstate[10], gstate[10], gstate[11]]
+            if liz:
+                ptrs += [gstate[13], gstate[14]]
+                row0s += [gstate[16], gstate[17]]
+            return ptrs, row0s
+
         @pl.when(at_boundary)
         def _():
             for i in range(il):
-                bounce[pl.ds(i * 48 + BPTR, 8), :] = gs[i][10]      # lit_row0
-                bounce[pl.ds(i * 48 + BPTR + 8, 8), :] = gs[i][11]  # flag_row0
-                bounce[pl.ds(i * 48 + BFILL, 24), :] = jnp.zeros(
-                    (24, 128), jnp.int32)
+                _, row0s = g_ptrs(gs[i])
+                for k in range(NSTR):
+                    bounce[pl.ds(i * BSTRIDE + k * 8, 8), :] = row0s[k]
+                bounce[pl.ds(i * BSTRIDE + BFILL, NSTR * 8), :] = jnp.zeros(
+                    (NSTR * 8, 128), jnp.int32)
 
             def rs(sl, k):
                 i = sl // 8
-                trk[sl, 0] = 0
-                trk[sl, 1] = 0
-                trk[sl, 2] = 0
-                trk[sl, 3] = bounce[i * 48 + BPTR + (sl & 7), 0]
-                trk[sl, 4] = bounce[i * 48 + BPTR + 8 + (sl & 7), 0]
+                for q in range(NSTR):
+                    trk[sl, q] = 0
+                    trk[sl, NSTR + q] = bounce[i * BSTRIDE + q * 8 + (sl & 7),
+                                               0]
                 return k
             jax.lax.fori_loop(0, il * 8, rs, 0)
 
@@ -249,24 +275,19 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
         lane0 = lanes == 0
         pks = []
         for i in range(il):
-            lit_p, flag_p, cur_src = gs[i][6], gs[i][7], gs[i][5]
-            csrc = cur_src & POS_MASK
-            fp0 = bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :]
-            fc0 = bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :]
-            ff0 = bounce[i * 48 + BFILL + 16:i * 48 + BFILL + 24, :]
-            d_p, fill_p = deltas(lit_p, fp0, LA_P, JR_P)
-            d_c, fill_c = deltas(csrc, fc0, LA_C, JR_C)
-            d_f, fill_f = deltas(flag_p, ff0, LA_F, JR_F)
-            bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :] = fill_p
-            bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :] = fill_c
-            bounce[i * 48 + BFILL + 16:i * 48 + BFILL + 24, :] = fill_f
-            bounce[i * 48 + BPTR:i * 48 + BPTR + 8, :] = lit_p
-            bounce[i * 48 + BPTR + 8:i * 48 + BPTR + 16, :] = csrc
-            bounce[i * 48 + BPTR + 16:i * 48 + BPTR + 24, :] = flag_p
-            pks.append((
-                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_p, shmt), 0)),
-                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_c, shmt), 0)),
-                jnp.sum(jnp.where(lane0, jax.lax.shift_left(d_f, shmt), 0))))
+            ptrs, _ = g_ptrs(gs[i])
+            pk_i = []
+            for k in range(NSTR):
+                f0 = bounce[i * BSTRIDE + BFILL + k * 8:
+                            i * BSTRIDE + BFILL + k * 8 + 8, :]
+                d_k, fill_k = deltas(ptrs[k], f0, LAs[k], JRs[k])
+                bounce[i * BSTRIDE + BFILL + k * 8:
+                       i * BSTRIDE + BFILL + k * 8 + 8, :] = fill_k
+                bounce[i * BSTRIDE + k * 8:i * BSTRIDE + k * 8 + 8, :] = \
+                    ptrs[k]
+                pk_i.append(jnp.sum(jnp.where(
+                    lane0, jax.lax.shift_left(d_k, shmt), 0)))
+            pks.append(pk_i)
 
         def issue(sl, win, gbase, nt, row0, f_rows, d, jr, ptr_row):
             def dojump(_):
@@ -286,27 +307,20 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                 return k + 1
             return jax.lax.fori_loop(r0, r1, body, 0), r1
 
+        backs = [(pback, NT_B), (cback, NT_CB), (fback, NT_F)] + \
+            ([(o16back, NT_OB), (o24back, NT_OB)] if liz else [])
         n_dma = jnp.int32(0)
         for i in range(il):
-            pk_p, pk_c, pk_f = pks[i]
-
-            def per_slot(s8, k, i=i, pk_p=pk_p, pk_c=pk_c, pk_f=pk_f):
+            def per_slot(s8, k, i=i, pk_i=pks[i]):
                 sl = i * 8 + s8
-                lr0 = trk[sl, 3]
-                fr0 = trk[sl, 4]
-                dp = (pk_p >> (s8 * 4)) & 15
-                n0, trk[sl, 0] = issue(sl, pback, i * NT_B, NT_B, lr0,
-                                       trk[sl, 0], dp, JR_P,
-                                       i * 48 + BPTR + s8)
-                dc = (pk_c >> (s8 * 4)) & 15
-                n1, trk[sl, 1] = issue(sl, cback, i * NT_CB, NT_CB, lr0,
-                                       trk[sl, 1], dc, JR_C,
-                                       i * 48 + BPTR + 8 + s8)
-                df = (pk_f >> (s8 * 4)) & 15
-                n2, trk[sl, 2] = issue(sl, fback, i * NT_F, NT_F, fr0,
-                                       trk[sl, 2], df, JR_F,
-                                       i * 48 + BPTR + 16 + s8)
-                return k + n0 + n1 + n2
+                for q in range(NSTR):
+                    win, nt = backs[q]
+                    dq = (pk_i[q] >> (s8 * 4)) & 15
+                    nq, trk[sl, q] = issue(
+                        sl, win, i * nt, nt, trk[sl, NSTR + q], trk[sl, q],
+                        dq, JRs[q], i * BSTRIDE + q * 8 + s8)
+                    k = k + nq
+                return k
             n_dma = jax.lax.fori_loop(0, 8, per_slot, n_dma)
 
         def wait_one(k, x):
@@ -318,16 +332,17 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
 
         # ------------------------------------------------ band machinery
         def band_prologue(i, stt):
-            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-             flag_p, emitted) = stt
+            lit_p = stt[6]
+            cur_src = stt[5]
             fb_p = lit_p & ~511
             for j in range(NT_P):
-                widx = ((((fb_p[0:8] & _MASK_B) >> 2) + j * 128 + lanes)
+                widx = ((((fb_p & _MASK_B) >> 2) + j * 128 + lanes)
                         & (NT_B * 128 - 1))
                 pfront[(i * NT_P + j) * 8:(i * NT_P + j) * 8 + 8, :] = \
                     _gchain(pback, i * NT_B, widx, NT_B)
             fb_c = (cur_src & POS_MASK) & ~511
-            fill_c = bounce[i * 48 + BFILL + 8:i * 48 + BFILL + 16, :]
+            fill_c = bounce[i * BSTRIDE + BFILL + 8:
+                            i * BSTRIDE + BFILL + 16, :]
             cov_c = (fb_c + NT_C * 512) <= fill_c
             for j in range(NT_C):
                 wc = ((((fb_c & _MASK_CB) >> 2) + j * 128 + lanes)
@@ -338,14 +353,33 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                 vp = _gchain(pback, i * NT_B, wp, NT_B)
                 cfront[(i * NT_C + j) * 8:(i * NT_C + j) * 8 + 8, :] = \
                     jnp.where(cov_c, vc, vp)
-            fill_p = bounce[i * 48 + BFILL:i * 48 + BFILL + 8, :]
+            fill_p = bounce[i * BSTRIDE + BFILL:i * BSTRIDE + BFILL + 8, :]
             covered = (fb_p + NT_P * 512) <= fill_p
-            return fb_p, fb_c, covered
+            if not liz:
+                return fb_p, fb_c, covered, None, None
+            p16, p24 = stt[9], stt[10]   # carry layout: 9 p16, 10 p24
+            fb_16 = p16 & ~511
+            fb_24 = p24 & ~511
+            for j in range(NT_O):
+                w = ((((fb_24 & _MASK_OB) >> 2) + j * 128 + lanes)
+                     & (NT_OB * 128 - 1))
+                o24front[(i * NT_O + j) * 8:(i * NT_O + j) * 8 + 8, :] = \
+                    _gchain(o24back, i * NT_OB, w, NT_OB)
+            for j in range(NT_O):
+                w = ((((fb_16 & _MASK_OB) >> 2) + j * 128 + lanes)
+                     & (NT_OB * 128 - 1))
+                o16front[(i * NT_O + j) * 8:(i * NT_O + j) * 8 + 8, :] = \
+                    _gchain(o16back, i * NT_OB, w, NT_OB)
+            return fb_p, fb_c, covered, fb_16, fb_24
 
         def w_body_single(i, ctx, band_rp, stt):
-            fb_p, fb_c, covered, lit_p0, lit_len, flag_len = ctx
-            (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-             cur_src, lit_p, flag_p, enc) = stt
+            fb_p, fb_c, covered, lit_p0, lit_len, flag_len, fb_16, fb_24 = ctx
+            if liz:
+                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
+                 cur_src, lit_p, flag_p, enc, p16, p24, last_off) = stt
+            else:
+                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
+                 cur_src, lit_p, flag_p, enc) = stt
             space = 128 - startv
 
             aliveb = alive != 0
@@ -357,47 +391,111 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             fetch = need & jnp.logical_not(exhausted)
 
             flag = _byte_at(fback, i * NT_F, flag_p, _MASK_F, NT_F)
-            ll0 = flag & 15
-            F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
-            ev, en = _ext_from(F1)
-            has_ll = ll0 == 15
-            ll = jnp.where(has_ll, ev + 15, ll0)
-            lp1 = lit_p + jnp.where(has_ll, en, 0)
-            lp2 = lp1 + ll
-            defer = lp2 > lit_p0 + DEFER_TH
-            mpos = jnp.where(pend, lit_p, lp2)
-            G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
-            G3 = _funnel4(pfront, i * NT_P, mpos + 4 - fb_p, NT_P)
-            off = (G2 & 0xFFFF).astype(jnp.int32)
-            n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
-            nrest = (_shr(G2, jnp.full_like(off, 24)) |
-                     _shl(G3, jnp.full_like(off, 8)))
-            nv16 = (nrest & 0xFFFF).astype(jnp.int32)
-            nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
-            nev = jnp.where(n0 < 254, n0, jnp.where(n0 == 254, nv16, nv24))
-            nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
-            ml0f = flag >> 4
-            ml0 = jnp.where(pend, cur_am, ml0f)
-            has_ml = ml0 == 15
-            ml = jnp.where(has_ml, nev + 15, ml0) + 4
+            if not liz:
+                ll0 = flag & 15
+                F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
+                ev, en = _ext_from(F1)
+                has_ll = ll0 == 15
+                ll = jnp.where(has_ll, ev + 15, ll0)
+                lp1 = lit_p + jnp.where(has_ll, en, 0)
+                lp2 = lp1 + ll
+                defer = lp2 > lit_p0 + DEFER_TH
+                mpos = jnp.where(pend, lit_p, lp2)
+                G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+                G3 = _funnel4(pfront, i * NT_P, mpos + 4 - fb_p, NT_P)
+                off = (G2 & 0xFFFF).astype(jnp.int32)
+                n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
+                nrest = (_shr(G2, jnp.full_like(off, 24)) |
+                         _shl(G3, jnp.full_like(off, 8)))
+                nv16 = (nrest & 0xFFFF).astype(jnp.int32)
+                nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
+                nev = jnp.where(n0 < 254, n0,
+                                jnp.where(n0 == 254, nv16, nv24))
+                nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
+                ml0f = flag >> 4
+                ml0 = jnp.where(pend, cur_am, ml0f)
+                has_ml = ml0 == 15
+                ml = jnp.where(has_ml, nev + 15, ml0) + 4
 
-            cur_ml = jnp.where(pend, ml, cur_ml)
-            cur_off = jnp.where(pend, jnp.maximum(off, 1), cur_off)
-            lit_p = jnp.where(
-                pend, lit_p + 2 + jnp.where(has_ml, nen, 0), lit_p)
-            cur_am = jnp.where(pend, 0, cur_am)
+                cur_ml = jnp.where(pend, ml, cur_ml)
+                cur_off = jnp.where(pend, jnp.maximum(off, 1), cur_off)
+                lit_p = jnp.where(
+                    pend, lit_p + 2 + jnp.where(has_ml, nen, 0), lit_p)
+                cur_am = jnp.where(pend, 0, cur_am)
 
-            cur_ll = jnp.where(fetch, ll, cur_ll)
-            cur_src = jnp.where(fetch, lp1, cur_src)
-            cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
-            cur_off = jnp.where(fetch & jnp.logical_not(defer),
-                                jnp.maximum(off, 1), cur_off)
-            cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
-            lit_p = jnp.where(
-                fetch,
-                jnp.where(defer, lp2, lp2 + 2 + jnp.where(has_ml, nen, 0)),
-                lit_p)
-            flag_p = jnp.where(fetch, flag_p + 1, flag_p)
+                cur_ll = jnp.where(fetch, ll, cur_ll)
+                cur_src = jnp.where(fetch, lp1, cur_src)
+                cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
+                cur_off = jnp.where(fetch & jnp.logical_not(defer),
+                                    jnp.maximum(off, 1), cur_off)
+                cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
+                lit_p = jnp.where(
+                    fetch,
+                    jnp.where(defer, lp2,
+                              lp2 + 2 + jnp.where(has_ml, nen, 0)),
+                    lit_p)
+                flag_p = jnp.where(fetch, flag_p + 1, flag_p)
+            else:
+                # LIZv1 codewords (lib/lizard_decompress_liz.h:14-220):
+                # [1_MMMM_LLL] rep / [0_MMMM_LLL] new 16-bit offset /
+                # tokens 0..30 ML=token+16 w/ 24-bit offset /
+                # token 31 ext-ML (>=47) w/ 24-bit offset
+                is_short = flag >= 32
+                is_rep = flag >= 128
+                ll0 = flag & 7
+                F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
+                ev, en = _ext_from(F1)
+                has_ll = is_short & (ll0 == 7)
+                ll = jnp.where(is_short,
+                               jnp.where(has_ll, ev + 7, ll0), 0)
+                lp1 = lit_p + jnp.where(has_ll, en, 0)
+                lp2 = lp1 + ll
+                # offsets come from their own streams (always resident)
+                O16 = _funnel4(o16front, i * NT_O, p16 - fb_16, NT_O)
+                off16v = (O16 & 0xFFFF).astype(jnp.int32)
+                O24 = _funnel4(o24front, i * NT_O, p24 - fb_24, NT_O)
+                off24v = (O24 & 0xFFFFFF).astype(jnp.int32)
+                # match length: short ext sits after the literal run (defer
+                # candidate); token-31 ext sits at lit_p (always resident)
+                mls = (flag >> 3) & 15
+                has_mls = is_short & (mls == 15)
+                mpos = jnp.where(pend, lit_p,
+                                 jnp.where(is_short, lp2, lit_p))
+                G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+                nev, nen = _ext_from(G2)
+                ml_short = jnp.where(mls == 15, nev + 15, mls)
+                ml_long = jnp.where(flag == 31, nev + 47, flag + 16)
+                ml = jnp.where(is_short, ml_short, ml_long)
+                defer = has_mls & (lp2 > lit_p0 + DEFER_TH)
+
+                # resolve a deferred short-token ml-ext
+                mlp = nev + 15
+                cur_ml = jnp.where(pend, mlp, cur_ml)
+                lit_p = jnp.where(pend, lit_p + nen, lit_p)
+
+                # fetch: update rep state and consume offset streams
+                use16 = fetch & is_short & jnp.logical_not(is_rep)
+                use24 = fetch & jnp.logical_not(is_short)
+                last_off = jnp.where(use16, off16v,
+                                     jnp.where(use24, off24v, last_off))
+                p16 = p16 + jnp.where(use16, 2, 0)
+                p24 = p24 + jnp.where(use24, 3, 0)
+                cur_off = jnp.where(fetch, jnp.maximum(last_off, 1),
+                                    cur_off)
+                cur_ll = jnp.where(fetch, ll, cur_ll)
+                cur_src = jnp.where(fetch, lp1, cur_src)
+                cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
+                # consumed ml-ext bytes: short non-deferred ext at lp2;
+                # token 31 ext at lit_p
+                ext31 = fetch & jnp.logical_not(is_short) & (flag == 31)
+                nshort = jnp.where(has_mls & jnp.logical_not(defer), nen, 0)
+                lit_p = jnp.where(
+                    fetch,
+                    jnp.where(is_short, lp2 + nshort,
+                              lit_p + jnp.where(ext31, nen, 0)),
+                    lit_p)
+                flag_p = jnp.where(fetch, flag_p + 1, flag_p)
+                cur_am = jnp.where(pend, 0, cur_am)
 
             tail_ll = jnp.maximum(lit_len - lit_p, 0)
             cur_ll = jnp.where(tail, tail_ll, cur_ll)
@@ -439,13 +537,17 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             startv = jnp.where(
                 (cur_ll == 0) & (cur_ml == -1) & jnp.logical_not(covered),
                 128, startv)
-            return (startv, fillv, alive, cur_ll, cur_ml, cur_off,
+            base = (startv, fillv, alive, cur_ll, cur_ml, cur_off,
                     cur_am, cur_src, lit_p, flag_p, enc)
+            if liz:
+                base = base + (p16, p24, last_off)
+            return base
+
+        NST = 14 if liz else 11
 
         def band_emit(i, ctx, acc, rt_h, ph, wst):
-            fb_p, fb_c, covered, lit_p0, lit_len, flag_len = ctx
-            (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-             cur_src, lit_p, flag_p, enc) = wst
+            fb_p, fb_c = ctx[0], ctx[1]
+            enc = wst[10]
             is_lit = enc >= 0
             from_carry = is_lit & ((enc & CARRY_BIT) != 0)
             pos = enc & POS_MASK
@@ -477,23 +579,26 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             ctxs = []
             inits = []
             for i in range(il):
-                (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-                 flag_p, emitted) = carries[i]
-                fb_p, fb_c, covered = band_prologue(i, carries[i])
+                cr = carries[i]
+                alive, cur_ll, cur_ml, cur_src, lit_p = (
+                    cr[0], cr[1], cr[2], cr[5], cr[6])
+                fb_p, fb_c, covered, fb_16, fb_24 = band_prologue(i, cr)
                 ctxs.append((fb_p, fb_c, covered, lit_p,
-                             gs[i][8], gs[i][9]))
+                             gs[i][8], gs[i][9], fb_16, fb_24))
                 pend0 = (cur_ll > 0) | (cur_ml != 0) | (alive != 0)
                 startv0 = jnp.where(pend0, 0, 128)
-                inits.extend((
-                    startv0, jnp.zeros((8, 128), jnp.int32), alive, cur_ll,
-                    cur_ml, cur_off, cur_am,
-                    cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
-                    lit_p, flag_p, jnp.zeros((8, 128), jnp.int32)))
+                ini = (startv0, jnp.zeros((8, 128), jnp.int32), alive,
+                       cur_ll, cur_ml, cr[3], cr[4],
+                       cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
+                       lit_p, cr[7], jnp.zeros((8, 128), jnp.int32))
+                if liz:
+                    ini = ini + (cr[9], cr[10], cr[11])
+                inits.extend(ini)
 
             def w_cond(flat):
                 cnd = flat[0][:, 0:1] < 128
                 for i in range(1, il):
-                    cnd = cnd | (flat[i * _NST][:, 0:1] < 128)
+                    cnd = cnd | (flat[i * NST][:, 0:1] < 128)
                 return jnp.any(cnd)
 
             def w_body(flat):
@@ -502,7 +607,7 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
                     # two tokens per iteration: amortizes the loop's
                     # cross-unit any() reduce over twice the work
                     sti = w_body_single(
-                        i, ctxs[i], band_rp, flat[i * _NST:(i + 1) * _NST])
+                        i, ctxs[i], band_rp, flat[i * NST:(i + 1) * NST])
                     outs.extend(w_body_single(i, ctxs[i], band_rp, sti))
                 return tuple(outs)
 
@@ -510,17 +615,26 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
             new_carries = []
             new_accs = []
             for i in range(il):
-                wst = flat[i * _NST:(i + 1) * _NST]
+                wst = flat[i * NST:(i + 1) * NST]
                 new_accs.append(band_emit(i, ctxs[i], accs[i], rt_h, ph, wst))
-                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, enc) = wst
-                emitted = carries[i][8] + fillv
-                new_carries.append((alive, cur_ll, cur_ml, cur_off, cur_am,
-                                    cur_src & POS_MASK, lit_p, flag_p,
-                                    emitted))
+                emitted = carries[i][8] + wst[1]
+                nc = (wst[2], wst[3], wst[4], wst[5], wst[6],
+                      wst[7] & POS_MASK, wst[8], wst[9], emitted)
+                if liz:
+                    nc = nc + (wst[11], wst[12], wst[13])
+                new_carries.append(nc)
             return new_carries, new_accs
 
-        carries = [g[:8] + (g[12],) for g in gs]
+        # carries layout: 0 alive 1 cur_ll 2 cur_ml 3 cur_off 4 cur_am
+        #                 5 cur_src 6 lit_p 7 flag_p 8 emitted
+        #                 [9 p16 10 p24 11 last_off]
+        def g_to_carry(g):
+            cr = g[:8] + (g[12],)
+            if liz:
+                cr = cr + (g[13], g[14], g[15])
+            return cr
+
+        carries = [g_to_carry(g) for g in gs]
         for half in range(2):
             rp_h = rp + half * 512
             rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
@@ -549,11 +663,11 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
 
         out_gs = []
         for i in range(il):
-            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
-             flag_p, emitted) = carries[i]
-            out_gs.append((alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
-                           lit_p, flag_p, gs[i][8], gs[i][9], gs[i][10],
-                           gs[i][11], emitted))
+            cr = carries[i]
+            g = cr[:8] + (gs[i][8], gs[i][9], gs[i][10], gs[i][11], cr[8])
+            if liz:
+                g = g + (cr[9], cr[10], cr[11], gs[i][16], gs[i][17])
+            out_gs.append(g)
 
         rp2 = rp + 1024
         rp2 = jnp.where(rp2 >= ring_bytes, rp2 - ring_bytes, rp2)
@@ -561,6 +675,8 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
 
     z = jnp.zeros((8, 128), jnp.int32)
     g_init = (z, z, z, z + 1, z, z, z, z, z, z, z, z, z)
+    if liz:
+        g_init = g_init + (z, z, z, z, z)
     st = (tuple(g_init for _ in range(il)), jnp.int32(0))
     gs_fin, rp_fin = jax.lax.fori_loop(0, T // 2, super_body, st)
 
@@ -583,10 +699,16 @@ def _lz4_lane_kernel(C, T, spb, rtiles, groups, il, pool_hbm, meta_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "T", "spb", "rtiles",
-                                             "groups", "il", "interpret"))
-def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, interpret=False):
-    kernel = functools.partial(_lz4_lane_kernel, C, T, spb, rtiles, groups,
-                               il)
+                                             "groups", "il", "family",
+                                             "interpret"))
+def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, family=0,
+               interpret=False):
+    kernel = functools.partial(_lane_kernel, C, T, spb, rtiles, groups,
+                               il, family)
+    liz = family == 1
+    nstr = 5 if liz else 3
+    ob = NT_OB if liz else 1
+    of = NT_O if liz else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(groups // il,),
@@ -598,11 +720,15 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, interpret=False):
             pltpu.VMEM((il * NT_B * 8, 128), jnp.int32),
             pltpu.VMEM((il * NT_CB * 8, 128), jnp.int32),
             pltpu.VMEM((il * NT_F * 8, 128), jnp.int32),
+            pltpu.VMEM((il * ob * 8, 128), jnp.int32),
+            pltpu.VMEM((il * ob * 8, 128), jnp.int32),
             pltpu.VMEM((il * NT_P * 8, 128), jnp.int32),
             pltpu.VMEM((il * NT_C * 8, 128), jnp.int32),
-            pltpu.VMEM((il * 48, 128), jnp.int32),
+            pltpu.VMEM((il * of * 8, 128), jnp.int32),
+            pltpu.VMEM((il * of * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 2 * nstr * 8, 128), jnp.int32),
             pltpu.VMEM((il * 8, 128), jnp.int32),
-            pltpu.SMEM((il * 8, 5), jnp.int32),
+            pltpu.SMEM((il * 8, 2 * nstr), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -620,10 +746,12 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, interpret=False):
 
 @dataclass
 class LaneBatch:
-    pool: np.ndarray          # (R,128) i32 word pool (flags+literals)
-    meta: np.ndarray          # (4*C,128) i32: frow0 / flen / lrow0 / llen
+    pool: np.ndarray          # (R,128) i32 word pool (all streams)
+    meta: np.ndarray          # (4C or 6C,128) i32: frow0/flen/lrow0/llen
+                              # (+ o16row0/o24row0 for LIZv1)
     C: int                    # max blocks per slot
     placement: list           # block index -> (slot, chain_pos)
+    family: int = 0           # 0 = fastLZ4, 1 = LIZv1
 
 
 def prepare_lane_batch(batch, groups=GROUPS) -> LaneBatch:
@@ -664,8 +792,13 @@ def prepare_lane_batch(batch, groups=GROUPS) -> LaneBatch:
         cursor += rows
         return row0
 
-    meta = np.full((4 * C, 128), -1, np.int32)
+    from lizard_tpu.format.levels import Codewords
+    liz = batch.codewords == Codewords.LIZv1
+    nmeta = 6 * C if liz else 4 * C
+    meta = np.full((nmeta, 128), -1, np.int32)
     meta[0:2 * C] = 0
+    if liz:
+        meta[4 * C:] = 0
     placement = [None] * n
     for s in range(n_slots):
         for cpos, b in enumerate(slot_blocks[s]):
@@ -677,30 +810,41 @@ def prepare_lane_batch(batch, groups=GROUPS) -> LaneBatch:
             meta[C + cpos, s] = int(batch.flags_len[b])
             meta[2 * C + cpos, s] = lrow
             meta[3 * C + cpos, s] = int(batch.lit_len[b])
+            if liz:
+                meta[4 * C + cpos, s] = add_seg(
+                    batch.off16[batch.off16_off[b]:
+                                batch.off16_off[b] + batch.off16_len[b]])
+                meta[5 * C + cpos, s] = add_seg(
+                    batch.off24[batch.off24_off[b]:
+                                batch.off24_off[b] + batch.off24_len[b]])
             placement[b] = (s, cpos)
     segs.append(np.zeros(4 * 512, np.uint8))
     cursor += 4
     pool = np.concatenate(segs).view(np.int32).reshape(cursor, 128)
-    return LaneBatch(pool=pool, meta=meta, C=C, placement=placement)
+    return LaneBatch(pool=pool, meta=meta, C=C, placement=placement,
+                     family=1 if liz else 0)
 
 
 def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
-                       rtiles=RING_TILES, groups=GROUPS,
+                       rtiles=None, groups=GROUPS,
                        il=1) -> list[bytes]:
-    """Decode a fastLZ4 BlockBatch with the lane kernel. Returns the decoded
-    bytes of every block, in batch order.
+    """Decode a BlockBatch (fastLZ4 or LIZv1 codewords) with the lane
+    kernel. Returns the decoded bytes of every block, in batch order.
 
     spb/rtiles/groups shrink the geometry for tests: blocks must decode to
-    <= spb*512 bytes and offsets must stay < rtiles*512 - 128 (production
-    values cover the real format: 128 KB blocks, 64 KB offsets)."""
+    <= spb*512 bytes and offsets must stay < rtiles*512 - 128. Production
+    values cover 128 KB blocks with 64 KB offsets (fastLZ4) / 128 KB reach
+    (LIZv1 within one inner block, e.g. -B1 independent frame blocks);
+    larger LIZv1 windows (chained multi-block streams) must use the
+    fallback paths."""
     from lizard_tpu.format.levels import Codewords
-    if batch.codewords != Codewords.LZ4:
-        raise ValueError("lane kernel currently decodes fastLZ4 batches")
     lane = prepare_lane_batch(batch, groups=groups)
+    if rtiles is None:
+        rtiles = LIZ_RING_TILES if lane.family else RING_TILES
     T = lane.C * spb
     out = _lane_call(jnp.asarray(lane.pool), jnp.asarray(lane.meta),
                      C=lane.C, T=T, spb=spb, rtiles=rtiles, groups=groups,
-                     il=il, interpret=interpret)
+                     il=il, family=lane.family, interpret=interpret)
     return unpack_lane_output(np.asarray(out), lane, T, spb=spb,
                               groups=groups)
 
@@ -723,10 +867,10 @@ def unpack_lane_output(out: np.ndarray, lane: LaneBatch, T: int,
 
 
 def decompress_lanes(streams: list[bytes], interpret=False,
-                     spb=SUPERS_PER_BLOCK, rtiles=RING_TILES,
+                     spb=SUPERS_PER_BLOCK, rtiles=None,
                      groups=GROUPS, il=1) -> list[bytes]:
-    """Decode independent fastLZ4 compressed streams; returns decoded bytes
-    per stream."""
+    """Decode independent compressed streams (either codeword family);
+    returns decoded bytes per stream."""
     from lizard_tpu.ops.split import split_streams
     batch = split_streams(streams)
     blocks = decode_batch_lanes(batch, interpret=interpret, spb=spb,

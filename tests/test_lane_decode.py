@@ -89,3 +89,48 @@ def test_interleaved_groups():
                             groups=2, il=2)
     for want, got in zip(datas, outs):
         assert got == want
+
+
+def liz_roundtrip(datas, level=21, groups=GROUPS, il=1):
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    from lizard_tpu.ref.block_encode import compress
+    streams = [compress(d, level) for d in datas]
+    outs = decompress_lanes(streams, interpret=True, spb=SPB, rtiles=RTILES,
+                            groups=groups, il=il)
+    for i, (want, got) in enumerate(zip(datas, outs)):
+        assert got == want, (
+            f"stream {i} len {len(want)}: first diff at "
+            f"{next((k for k in range(min(len(got), len(want))) if got[k] != want[k]), 'len')}")
+
+
+def test_liz_basic():
+    liz_roundtrip([gen(1800, seed=11, proba=0.7)])
+
+
+def test_liz_levels():
+    d = gen(1900, seed=12, proba=0.6)
+    for level in (20, 21, 22, 23, 25, 29):
+        liz_roundtrip([d], level=level)
+
+
+def test_liz_rep_offsets():
+    # structured data with repeated strides exercises rep-offset tokens
+    rec = bytes(range(48))
+    data = b"".join(rec[:i % 7 + 40] for i in range(40))[:2000]
+    liz_roundtrip([data])
+    liz_roundtrip([b"\x00" * 2000])
+    liz_roundtrip([b"abcabcab" * 250])
+
+
+def test_liz_incompressible_and_defer():
+    rng = np.random.default_rng(13)
+    liz_roundtrip([rng.integers(0, 256, 1400, dtype=np.uint8).tobytes()])
+    head = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+    liz_roundtrip([head + head[:900]])
+
+
+def test_liz_many_streams():
+    rng = np.random.default_rng(14)
+    datas = [gen(int(rng.integers(1, 2049)), seed=50 + i, proba=0.75)
+             for i in range(12)]
+    liz_roundtrip(datas)

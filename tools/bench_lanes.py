@@ -13,8 +13,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from lizard_tpu.ops.lane_decode import (
-        GROUPS, RING_TILES, SUPERS_PER_BLOCK, _lane_call, prepare_lane_batch,
-        unpack_lane_output)
+        GROUPS, LIZ_RING_TILES, RING_TILES, SUPERS_PER_BLOCK, _lane_call,
+        prepare_lane_batch, unpack_lane_output)
     from lizard_tpu.ops.split import split_streams
 
     mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -43,12 +43,13 @@ def main():
           flush=True)
 
     T = lane.C * SUPERS_PER_BLOCK
+    rtiles = LIZ_RING_TILES if lane.family else RING_TILES
     pool = jnp.asarray(lane.pool)
     meta = jnp.asarray(lane.meta)
 
     t0 = time.perf_counter()
     out = _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
-                     rtiles=RING_TILES, groups=GROUPS, il=il)
+                     rtiles=rtiles, groups=GROUPS, il=il, family=lane.family)
     out.block_until_ready()
     t1 = time.perf_counter()
     print(f"compile+first run {t1-t0:.1f}s il={il}", flush=True)
@@ -71,7 +72,8 @@ def main():
     while total < 3.0:
         t0 = time.perf_counter()
         out = _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
-                         rtiles=RING_TILES, groups=GROUPS, il=il)
+                         rtiles=rtiles, groups=GROUPS, il=il,
+                         family=lane.family)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = min(best, dt)
