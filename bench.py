@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: TPU batched Lizard decode throughput on one chip.
+"""Benchmark: TPU lane-parallel Lizard decode throughput on one chip.
 
-Protocol mirrors programs/bench.c:151-340 — blocks pre-split, repeated timed
-loops over >= BENCH_SECONDS taking the fastest iteration, round-trip
-verified. Timing covers the on-device decode pipeline (token scan + expand +
-resolve) with input pre-staged in HBM and output left on device, i.e. the
-per-chip kernel throughput.
+Protocol mirrors programs/bench.c:151-340 — repeated timed loops over
+>= BENCH_SECONDS taking the fastest iteration, round-trip verified.
+
+Workload: the corpus is cut into 128 KB independent blocks (exactly the
+frame format's blockIndependent -B1 mode, the codec's data-parallel unit,
+doc/lizard_Frame_format.md:151-159) and decoded by the banded lane-parallel
+Pallas kernel (lizard_tpu/ops/lane_decode.py): 128 block-slots decode
+simultaneously, 8 per sublane row x 16 groups, 4 groups interleaved per
+kernel instance. Timing covers the on-device decode with inputs pre-staged
+in HBM and output left on device (the reference's RAM-to-RAM analogue).
+For Huffman levels (30-49) the entropy stage currently runs in the host
+splitter and is NOT in the timed region.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference's published single-core decode
@@ -22,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", "3"))
 CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
 LEVEL = int(os.environ.get("BENCH_LEVEL", "10"))
+IL = int(os.environ.get("BENCH_IL", "4"))
 # reference decompress MB/s per level on i5-4300U (BASELINE.md)
 BASELINE_DECODE_MBPS = {10: 2610, 12: 2458, 15: 2552, 19: 2497, 21: 1795,
                         23: 1778, 26: 1734, 29: 1634, 30: 909, 32: 1244,
@@ -46,58 +54,55 @@ def build_corpus(n_bytes: int) -> bytes:
     return b"".join(parts)[:n_bytes]
 
 
-def compress_corpus(data: bytes, level: int) -> bytes:
-    """Compress via the reference library (byte-identical to our encoder —
-    proven by tests — but ~1000x faster than the scalar Python oracle)."""
+def compress_blocks(data: bytes, level: int) -> list[bytes]:
+    """Compress 128 KB independent blocks via the reference library
+    (byte-identical to our encoder — proven by tests — but ~1000x faster
+    than the scalar Python oracle)."""
+    chunks = [data[i:i + 131072] for i in range(0, len(data), 131072)]
     try:
         from tests.oracle import _load, Oracle
         lib = _load()
         if lib is not None:
-            return Oracle(lib).compress(data, level)
+            o = Oracle(lib)
+            return [o.compress(c, level) for c in chunks]
     except Exception:
         pass
     from lizard_tpu.ref.block_encode import compress
-    return compress(data, level)
+    return [compress(c, level) for c in chunks]
 
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
+    import jax.numpy as jnp
 
-    from lizard_tpu.format.levels import Codewords
-    from lizard_tpu.ops.pallas_decode import (
-        FLAG_ROWS, LIT_ROWS, _pallas_decode_lz4)
-    from lizard_tpu.ops.split import finalize, new_accumulator, split_stream
+    from lizard_tpu.ops.lane_decode import (
+        GROUPS, LIZ_RING_TILES, RING_TILES, SUPERS_PER_BLOCK, _lane_call,
+        prepare_lane_batch, unpack_lane_output)
+    from lizard_tpu.ops.split import split_streams
 
     data = build_corpus(CORPUS_MB << 20)
-    comp = compress_corpus(data, LEVEL)
-    ratio = len(comp) / len(data)
+    streams = compress_blocks(data, LEVEL)
+    csize = sum(map(len, streams))
+    ratio = csize / len(data)
 
-    acc = new_accumulator()
-    family = split_stream(comp, acc, 0)
-    batch = finalize(acc, family)
-    if family == Codewords.LIZv1:
-        raise SystemExit("bench currently targets fastLZ4 levels")
+    batch = split_streams(streams)
+    lane = prepare_lane_batch(batch)
+    T = lane.C * SUPERS_PER_BLOCK
+    rtiles = LIZ_RING_TILES if lane.family else RING_TILES
+    pool = jnp.asarray(lane.pool)
+    meta = jnp.asarray(lane.meta)
 
-    def to_rows(a, pad_rows):
-        n = len(a)
-        rows = (n + 127) // 128 + pad_rows
-        buf = np.zeros(rows * 128, np.int32)
-        buf[:n] = a
-        return buf.reshape(rows, 128)
+    def run():
+        return _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
+                          rtiles=rtiles, groups=GROUPS, il=IL,
+                          family=lane.family)
 
-    dev_args = [jnp.asarray(to_rows(batch.flags, FLAG_ROWS)),
-                jnp.asarray(to_rows(batch.literals, LIT_ROWS)),
-                jnp.asarray(batch.flags_off), jnp.asarray(batch.flags_len),
-                jnp.asarray(batch.lit_off), jnp.asarray(batch.lit_len)]
-    static = dict(n_blocks=int(batch.n_blocks))
-
-    # compile + verify (fused Pallas block decoder)
-    out = _pallas_decode_lz4(*dev_args, **static)
+    # compile + verify
+    out = run()
     out.block_until_ready()
-    got = np.asarray(out).astype(np.uint8).reshape(-1)[:len(data)].tobytes()
-    assert got == data, "round-trip verification failed"
+    blocks = unpack_lane_output(np.asarray(out), lane, T)
+    assert b"".join(blocks) == data, "round-trip verification failed"
 
     # fastest-of-N over >= BENCH_SECONDS (bench.c protocol)
     best = float("inf")
@@ -105,7 +110,7 @@ def main():
     iters = 0
     while t_total < BENCH_SECONDS:
         t0 = time.perf_counter()
-        out = _pallas_decode_lz4(*dev_args, **static)
+        out = run()
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = min(best, dt)
@@ -120,8 +125,8 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(gbps / base, 4),
     }))
-    print(f"# corpus={len(data)} ratio={ratio:.4f} blocks={batch.n_blocks} "
-          f"max_tokens={batch.max_tokens} iters={iters} best={best*1e3:.2f}ms "
+    print(f"# corpus={len(data)} ratio={ratio:.4f} blocks={len(streams)} "
+          f"iters={iters} best={best*1e3:.2f}ms il={IL} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 
