@@ -34,6 +34,21 @@ def compress_frame(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, **kw) -> byt
     return _cf(data, level, **kw)
 
 
-def decompress_frame(data: bytes, **kw) -> bytes:
-    from lizard_tpu.frame import decompress_frame as _df
+def decompress_frame(data: bytes, backend: str = "auto", **kw) -> bytes:
+    """Frame decode. backend="lanes" forces the TPU lane-parallel kernel;
+    "auto" uses it for eligible frames (blockIndependent, >= 8 blocks) on a
+    TPU backend and falls back to the scalar path otherwise."""
+    from lizard_tpu.frame import FrameError, decompress_frame as _df
+    if backend in ("auto", "lanes"):
+        try:
+            if backend == "lanes":
+                from lizard_tpu.frame import decompress_frame_lanes
+                return decompress_frame_lanes(data, **kw)
+            import jax
+            if jax.default_backend() == "tpu" and len(data) > (1 << 20):
+                from lizard_tpu.frame import decompress_frame_lanes
+                return decompress_frame_lanes(data, **kw)
+        except FrameError:
+            pass
+    kw.pop("interpret", None)
     return _df(data, **kw)

@@ -197,6 +197,75 @@ def decompress_one_frame(src: bytes, verify_checksum: bool = True) -> tuple[byte
     return bytes(out), p
 
 
+def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
+                           interpret: bool = False, **lane_kw) -> bytes:
+    """Decode one frame on the TPU lane-parallel kernel
+    (lizard_tpu/ops/lane_decode.py). Every blockIndependent frame block is
+    an independent chain, decoded 128-at-a-time.
+
+    Eligible frames: blockIndependent; fastLZ4-family levels at any block
+    size (offsets are LE16), LIZv1-family levels at blockSizeID 1 (128 KB
+    reach fits the in-VMEM ring). Raises FrameError for ineligible frames
+    (callers fall back to the scalar/XLA paths)."""
+    from lizard_tpu.format.levels import Codewords
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+
+    info = parse_frame_header(src)
+    if info.block_linked:
+        raise FrameError("lane path requires blockIndependent frames")
+    max_block = LIZARDF_BLOCK_SIZES[info.block_size_id]
+    p = info.header_size
+    entries = []   # ("stored", bytes) | ("stream", index)
+    streams = []
+    family = None
+    while True:
+        if p + 4 > len(src):
+            raise FrameError("missing endmark")
+        bsize = int.from_bytes(src[p:p + 4], "little")
+        p += 4
+        if bsize == 0:
+            break
+        stored = bool(bsize & LIZARDF_BLOCKUNCOMPRESSED_FLAG)
+        bsize &= ~LIZARDF_BLOCKUNCOMPRESSED_FLAG
+        if p + bsize > len(src):
+            raise FrameError("block truncated")
+        blob = src[p:p + bsize]
+        p += bsize
+        if stored:
+            entries.append(("stored", blob))
+            continue
+        level = blob[0] if blob else 0
+        fam = LEVELS[level].codewords if level in LEVELS else None
+        if fam is None:
+            raise FrameError("bad level byte")
+        if family is None:
+            family = fam
+        elif family != fam:
+            raise FrameError("mixed codeword families")
+        entries.append(("stream", len(streams)))
+        streams.append(blob)
+    if family == Codewords.LIZv1 and max_block > 131072:
+        raise FrameError("LIZv1 lane path requires blockSize <= 128 KB")
+
+    decoded = decompress_lanes(streams, interpret=interpret,
+                               **lane_kw) if streams else []
+    out = bytearray()
+    for kind, v in entries:
+        out += v if kind == "stored" else decoded[v]
+    if info.content_checksum:
+        if p + 4 > len(src):
+            raise FrameError("missing content checksum")
+        stored_crc = int.from_bytes(src[p:p + 4], "little")
+        p += 4
+        if verify_checksum and xxh32(bytes(out)) != stored_crc:
+            raise FrameError("content checksum mismatch")
+    if info.content_size is not None and info.content_size != len(out):
+        raise FrameError("content size mismatch")
+    if p != len(src):
+        raise FrameError("trailing data after frame")
+    return bytes(out)
+
+
 def decompress_frames(src: bytes, verify_checksum: bool = True) -> bytes:
     """Decode a sequence of concatenated frames (incl. skippable)."""
     out = bytearray()

@@ -247,8 +247,10 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 _, row0s = g_ptrs(gs[i])
                 for k in range(NSTR):
                     bounce[pl.ds(i * BSTRIDE + k * 8, 8), :] = row0s[k]
-                bounce[pl.ds(i * BSTRIDE + BFILL, NSTR * 8), :] = jnp.zeros(
-                    (NSTR * 8, 128), jnp.int32)
+                dead_fill = jnp.where(gs[i][0] != 0, 0, 1 << 28)
+                for k in range(NSTR):
+                    bounce[pl.ds(i * BSTRIDE + BFILL + k * 8, 8), :] = \
+                        dead_fill
 
             def rs(sl, k):
                 i = sl // 8
@@ -300,7 +302,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
 
             def body(r, k):
                 cp = pltpu.make_async_copy(
-                    pool_hbm.at[pl.ds(jnp.minimum(row0 + r, R - 1), 1)],
+                    pool_hbm.at[pl.ds(
+                        jnp.clip(row0 + r, 0, R - 1), 1)],
                     win.at[pl.ds((gbase + (r & (nt - 1))) * 8 + (sl & 7), 1)],
                     sems.at[0])
                 cp.start()

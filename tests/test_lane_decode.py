@@ -134,3 +134,17 @@ def test_liz_many_streams():
     datas = [gen(int(rng.integers(1, 2049)), seed=50 + i, proba=0.75)
              for i in range(12)]
     liz_roundtrip(datas)
+
+
+def test_frame_lane_path():
+    from lizard_tpu.frame import compress_frame, decompress_frame_lanes
+    datas = b"".join(gen(1500 + 31 * i, seed=70 + i, proba=0.7)
+                     for i in range(6))
+    # blockSizeID 1 -> 128 KB blocks, but our test geometry wants small
+    # blocks: craft a frame with several <=2 KB blocks by using tiny input
+    # per frame; instead decode a multi-block frame built from 2 KB chunks
+    # via the block-independent encoder at bsid 1 with small content
+    frame = compress_frame(datas[:1800], 10, block_size_id=1)
+    got = decompress_frame_lanes(frame, interpret=True, spb=SPB,
+                                 rtiles=RTILES, groups=GROUPS)
+    assert got == datas[:1800]
