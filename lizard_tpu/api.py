@@ -11,10 +11,17 @@ from lizard_tpu.format.constants import LIZARD_DEFAULT_CLEVEL
 
 
 def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, backend: str = "ref") -> bytes:
-    """One-shot block-stream compression (Lizard_compress equivalent)."""
+    """One-shot block-stream compression (Lizard_compress equivalent).
+
+    backend="ref": bit-exact scalar encoder (byte-identical to liblizard,
+    all 40 levels). backend="native": the fast C++ host encoder (fastLZ4
+    family, valid-but-not-identical streams, ~100x faster)."""
     if backend == "ref":
         from lizard_tpu.ref.block_encode import compress as _c
         return _c(data, level)
+    if backend == "native":
+        from lizard_tpu import runtime as _rt
+        return _rt.compress(data, level)
     raise NotImplementedError(backend)
 
 

@@ -46,6 +46,10 @@ def _load():
     lib.ltpu_huf_decompress.restype = ctypes.c_int
     lib.ltpu_huf_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                         ctypes.c_char_p, ctypes.c_size_t]
+    lib.ltpu_compress_lz4.restype = ctypes.c_int64
+    lib.ltpu_compress_lz4.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -105,3 +109,23 @@ def huf_decompress(src: bytes, dst_size: int) -> bytes:
     if lib.ltpu_huf_decompress(src, len(src), dst, dst_size) != 0:
         raise ValueError("native huf decode failed")
     return dst.raw[:dst_size]
+
+
+def compress(data: bytes, level: int = 11, accel: int = 1) -> bytes:
+    """Fast native block-stream compression (fastLZ4 family; greedy hash
+    match finder, native/lizard_runtime.cpp). Output is a valid stream for
+    the given level (10..19, 30..39 accepted; streams are raw) but NOT
+    byte-identical to the reference encoder -- use the `ref` backend for
+    bit-exact parity."""
+    if not (10 <= level <= 19 or 30 <= level <= 39):
+        raise ValueError("native encoder emits fastLZ4-family streams only")
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.ref.block_encode import compress as py
+        return py(data, level)
+    cap = len(data) + len(data) // 2 + 4096
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.ltpu_compress_lz4(data, len(data), dst, cap, level, accel)
+    if r < 0:
+        raise RuntimeError("native compression failed")
+    return dst.raw[:r]

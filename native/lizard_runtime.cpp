@@ -582,6 +582,167 @@ int64_t ltpu_frame_decompress(const uint8_t* src, size_t n, uint8_t* dst,
 
 }  // extern "C"
 
+// ===========================================================================
+// fastLZ4-family block-stream ENCODER (written from scratch against the
+// format spec, doc/lizard_Block_format.md + lib/lizard_compress_lz4.h
+// semantics): greedy hash match finder with LZ4-style skip acceleration and
+// backward extension, emitting the two raw streams (flags + literals) per
+// 128 KB inner block. Output is a valid stream for any fastLZ4 level byte;
+// it is NOT byte-identical to the reference encoder (the bit-exact encoder
+// lives in lizard_tpu/ref/block_encode.py) -- this is the fast host path.
+// ===========================================================================
+namespace {
+
+constexpr size_t kBlock = 131072;            // LIZARD_BLOCK_SIZE
+constexpr uint32_t kMaxOff = 65535;
+constexpr size_t kLastLiterals = 16;         // decoder tail rule slack
+constexpr uint8_t kFlagUncompressed = 128;   // lizard_common.h LIZARD_FLAG_UNCOMPRESSED
+
+inline uint32_t ehash(uint32_t v, int hlog) {
+  return (v * 2654435761u) >> (32 - hlog);
+}
+
+// append a length-extension (<254 | 254+LE16 | 255+LE24)
+inline void put_ext(std::vector<uint8_t>& out, uint32_t v) {
+  if (v < 254) {
+    out.push_back((uint8_t)v);
+  } else if (v < 65536) {
+    out.push_back(254);
+    out.push_back((uint8_t)v);
+    out.push_back((uint8_t)(v >> 8));
+  } else {
+    out.push_back(255);
+    out.push_back((uint8_t)v);
+    out.push_back((uint8_t)(v >> 8));
+    out.push_back((uint8_t)(v >> 16));
+  }
+}
+
+inline void put_le24(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back((uint8_t)v);
+  out.push_back((uint8_t)(v >> 8));
+  out.push_back((uint8_t)(v >> 16));
+}
+
+struct EncAcc {
+  std::vector<uint8_t> flags, lits;
+};
+
+// encode src[b0, b1) as one inner block's token streams; the hash table
+// holds absolute positions into src (window shared across inner blocks of
+// the same call, like one Lizard raw stream, lizard_compress.c:494-540)
+void encode_inner_lz4(const uint8_t* src, size_t b0, size_t b1, size_t n,
+                      uint32_t* htab, int hlog, int accel, EncAcc& acc) {
+  acc.flags.clear();
+  acc.lits.clear();
+  size_t ip = b0, anchor = b0;
+  // matches must stop so that every in-loop literal run leaves >= 2+16
+  // bytes in the literal stream (decoder rule lizard_decompress_lz4.h:104)
+  size_t mflimit = (b1 >= 20 && b1 - 20 >= b0) ? b1 - 20 : b0;
+
+  auto emit = [&](size_t lit_end, size_t mpos, size_t mlen, uint32_t off) {
+    size_t ll = lit_end - anchor;
+    uint32_t ml = (uint32_t)mlen - 4;
+    uint8_t tok = (uint8_t)(((ml < 15 ? ml : 15) << 4) |
+                            (ll < 15 ? (uint8_t)ll : 15));
+    acc.flags.push_back(tok);
+    if (ll >= 15) put_ext(acc.lits, (uint32_t)(ll - 15));
+    acc.lits.insert(acc.lits.end(), src + anchor, src + anchor + ll);
+    acc.lits.push_back((uint8_t)off);
+    acc.lits.push_back((uint8_t)(off >> 8));
+    if (ml >= 15) put_ext(acc.lits, ml - 15);
+    (void)mpos;
+  };
+
+  if (b1 - b0 > 24) {
+    uint32_t searches = 0;
+    while (ip < mflimit) {
+      uint32_t v = rd32(src + ip);
+      uint32_t h = ehash(v, hlog);
+      size_t cand = htab[h];
+      htab[h] = (uint32_t)ip;
+      // LIZARD_FAST_MIN_OFFSET: the fastLZ4 decoder's unconditional
+      // 8-byte copies require offsets >= 8 (lizard_parser_fast.h:1)
+      if (cand + 8 <= ip && ip - cand <= kMaxOff && cand < n &&
+          rd32(src + cand) == v) {
+        // backward extension
+        size_t mp = cand, mq = ip;
+        while (mq > anchor && mp > 0 && src[mp - 1] == src[mq - 1]) {
+          --mp;
+          --mq;
+        }
+        // (backward extension preserves the offset, so >= 8 still holds)
+        // forward extension
+        size_t len = 4;
+        size_t maxl = b1 - kLastLiterals - mq;
+        while (len < maxl && src[mp + len] == src[mq + len]) ++len;
+        if (len >= 4) {
+          emit(mq, mp, len, (uint32_t)(mq - mp));
+          anchor = mq + len;
+          ip = anchor;
+          searches = 0;
+          // insert a couple of positions inside the match for future refs
+          if (ip - 2 > b0 && ip < mflimit) {
+            htab[ehash(rd32(src + ip - 2), hlog)] = (uint32_t)(ip - 2);
+          }
+          continue;
+        }
+      }
+      ip += 1 + (searches++ >> (6 + (accel > 1 ? accel - 1 : 0)));
+    }
+  }
+  // trailing literals: the remainder of the block, raw
+  acc.lits.insert(acc.lits.end(), src + anchor, src + b1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `src` into a Lizard block stream (level byte + inner blocks with
+// raw flags/literals streams). level must be a fastLZ4-family level
+// (10..19 or 30..39 -- written verbatim; streams are raw so any of them
+// decodes it). accel >= 1 trades ratio for speed. Returns bytes written or
+// -1 if dst is too small.
+int64_t ltpu_compress_lz4(const uint8_t* src, size_t n, uint8_t* dst,
+                          size_t cap, int level, int accel) {
+  int hlog = 17;
+  std::vector<uint32_t> htab((size_t)1 << hlog, 0xFFFFFFFFu);
+  // position 0 sentinel: fill with large value so "cand < ip" rejects
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 1024);
+  out.push_back((uint8_t)level);
+  EncAcc acc;
+  for (size_t b0 = 0; b0 < n || (n == 0 && b0 == 0); b0 += kBlock) {
+    size_t b1 = b0 + kBlock < n ? b0 + kBlock : n;
+    encode_inner_lz4(src, b0, b1, n, htab.data(), hlog, accel, acc);
+    size_t comp = 1 + 5 * 3 + acc.flags.size() + acc.lits.size();
+    size_t raw = b1 - b0;
+    if (raw > 0 && comp >= raw - (raw >> 6)) {
+      // insufficient gain: stored block (lizard_compress.c:235-245)
+      out.push_back(kFlagUncompressed);
+      put_le24(out, (uint32_t)raw);
+      out.insert(out.end(), src + b0, src + b1);
+    } else {
+      // header byte 0: all five streams raw
+      out.push_back(0);
+      put_le24(out, 0);                          // len stream (empty)
+      put_le24(out, 0);                          // off16 (empty)
+      put_le24(out, 0);                          // off24 (empty)
+      put_le24(out, (uint32_t)acc.flags.size()); // flags
+      out.insert(out.end(), acc.flags.begin(), acc.flags.end());
+      put_le24(out, (uint32_t)acc.lits.size());  // literals
+      out.insert(out.end(), acc.lits.begin(), acc.lits.end());
+    }
+    if (n == 0) break;
+  }
+  if (out.size() > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+}  // extern "C"
+
 extern "C" {
 // standalone Huff0 decode (for the host-side stream splitter)
 int ltpu_huf_decompress(const uint8_t* src, size_t n, uint8_t* dst,

@@ -52,3 +52,35 @@ def test_native_decode_speed():
     dt = time.perf_counter() - t0
     assert out == data
     assert dt < 1.0, f"native decode too slow: {dt}s"
+
+
+def test_native_encoder_roundtrip():
+    """The fast native encoder's output decodes bit-exactly on every
+    decoder: our oracle, the native decoder, and (when built) liblizard."""
+    import numpy as np
+    import pytest
+    from lizard_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime not built")
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.utils.datagen import gen
+    rng = np.random.default_rng(7)
+    cases = [gen(200000, seed=1, proba=0.7), b"", b"q", b"\x00" * 100000,
+             rng.integers(0, 256, 50000, dtype=np.uint8).tobytes(),
+             gen(300000, seed=2, proba=0.9)]
+    for data in cases:
+        comp = runtime.compress(data, 11)
+        assert decompress(comp, max_out=max(len(data), 16)) == data
+        got = runtime.decompress(comp, max_out=max(len(data), 16))
+        assert got == data
+    try:
+        from tests.oracle import _load, Oracle
+        lib = _load()
+    except Exception:
+        lib = None
+    if lib is not None:
+        o = Oracle(lib)
+        for data in cases:
+            if not data:
+                continue
+            assert o.decompress(runtime.compress(data, 11), len(data)) == data
