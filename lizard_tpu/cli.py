@@ -156,9 +156,16 @@ def parse_args(argv, prog="lizard"):
 
 
 def _compress_backend(opts, data):
+    level = (opts.level if opts.level >= 10 else 10 * opts.level
+             if opts.level else LIZARD_DEFAULT_CLEVEL)
+    if (opts.backend == "native" and not opts.block_linked
+            and (10 <= level <= 19 or 30 <= level <= 39)):
+        from lizard_tpu.frame import compress_frame_fast
+        return compress_frame_fast(
+            data, level=level, block_size_id=opts.block_size_id,
+            content_checksum=opts.frame_crc, content_size=opts.content_size)
     return compress_frame(
-        data, level=opts.level if opts.level >= 10 else 10 * opts.level
-        if opts.level else LIZARD_DEFAULT_CLEVEL,
+        data, level=level,
         block_size_id=opts.block_size_id,
         block_linked=opts.block_linked,
         content_checksum=opts.frame_crc,
@@ -166,6 +173,13 @@ def _compress_backend(opts, data):
 
 
 def _decompress_backend(opts, data):
+    if opts.backend == "native":
+        from lizard_tpu import runtime
+        if runtime.available():
+            try:
+                return runtime.decompress_frame(data, max_out=len(data) * 256 + 4096)
+            except Exception:
+                pass
     dec = FrameDecoder()
     out = dec.update(data)
     return out

@@ -197,6 +197,48 @@ def decompress_one_frame(src: bytes, verify_checksum: bool = True) -> tuple[byte
     return bytes(out), p
 
 
+def compress_frame_fast(data: bytes, level: int = 11,
+                        block_size_id: int = 0,
+                        content_checksum: bool = True,
+                        content_size: bool = False) -> bytes:
+    """Fast frame compression: blockIndependent frame, each block compressed
+    by the native C++ encoder (valid fastLZ4 streams, not byte-identical to
+    the reference; see lizard_tpu.runtime.compress). Falls back to the
+    bit-exact python encoder when the native runtime is unavailable."""
+    from lizard_tpu import runtime
+    level = validate_level(level)
+    if not (10 <= level <= 19 or 30 <= level <= 39):
+        level = 11  # native encoder emits fastLZ4-family streams
+    if block_size_id == 0:
+        block_size_id = 1
+    block_size_id = _optimal_bsid(block_size_id, len(data))
+    block_size = LIZARDF_BLOCK_SIZES[block_size_id]
+
+    out = bytearray()
+    out += LIZARDF_MAGIC.to_bytes(4, "little")
+    flg = (1 << 6) | (1 << 5) | (int(content_checksum) << 2) \
+        | ((1 if content_size else 0) << 3)
+    header = bytearray([flg, (block_size_id & 7) << 4])
+    if content_size:
+        header += len(data).to_bytes(8, "little")
+    out += header
+    out.append((xxh32(bytes(header)) >> 8) & 0xFF)
+
+    for pos in range(0, len(data), block_size):
+        part = data[pos:pos + block_size]
+        comp = runtime.compress(part, level)
+        if len(comp) >= len(part):
+            out += (len(part) | LIZARDF_BLOCKUNCOMPRESSED_FLAG).to_bytes(4, "little")
+            out += part
+        else:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+    out += (0).to_bytes(4, "little")
+    if content_checksum:
+        out += xxh32(data).to_bytes(4, "little")
+    return bytes(out)
+
+
 def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
                            interpret: bool = False, **lane_kw) -> bytes:
     """Decode one frame on the TPU lane-parallel kernel

@@ -139,3 +139,16 @@ def test_frame_content_size_flag():
     info = parse_frame_header(f[:20])
     assert info.content_size == len(data)
     assert decompress_frame(f) == data
+
+
+def test_compress_frame_fast_roundtrip():
+    """compress_frame_fast (native encoder) produces frames every decoder
+    accepts."""
+    from lizard_tpu.frame import compress_frame_fast, decompress_frame
+    from lizard_tpu.utils.datagen import gen
+    import numpy as np
+    rng = np.random.default_rng(9)
+    for data in (gen(300000, seed=3, proba=0.7), b"", b"z" * 5,
+                 rng.integers(0, 256, 150000, dtype=np.uint8).tobytes()):
+        frame = compress_frame_fast(data, 11)
+        assert decompress_frame(frame) == data
