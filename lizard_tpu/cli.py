@@ -180,6 +180,12 @@ def _decompress_backend(opts, data):
                 return runtime.decompress_frame(data, max_out=len(data) * 256 + 4096)
             except Exception:
                 pass
+    if opts.backend in ("lanes", "jax"):
+        from lizard_tpu.api import decompress_frame
+        try:
+            return decompress_frame(data, backend="auto")
+        except Exception:
+            pass
     dec = FrameDecoder()
     out = dec.update(data)
     return out
