@@ -24,7 +24,11 @@ from lizard_tpu.format.constants import (
 from lizard_tpu.format.levels import LEVELS, validate_level
 from lizard_tpu.ref.block_decode import CorruptError, decompress as block_decompress
 from lizard_tpu.ref.block_encode import Ctx, Tables, compress_range
-from lizard_tpu.utils.xxh import XXH32, xxh32
+from lizard_tpu.utils.xxh import XXH32
+try:  # native xxh32 is ~100x the pure-python one (checksum of full frames)
+    from lizard_tpu.runtime import xxh32
+except Exception:
+    from lizard_tpu.utils.xxh import xxh32
 
 
 class FrameError(ValueError):
