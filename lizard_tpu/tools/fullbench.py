@@ -61,6 +61,17 @@ def main(argv=None):
     bench("XXH64", lambda: xxh64(data))
     if runtime.available():
         bench("XXH32 (native)", lambda: runtime.xxh32(data))
+    bench("Lizard_compress -11 (native C++)",
+          lambda: runtime.compress(data, 11)) if runtime.available() else None
+    import jax
+    if jax.default_backend() == "tpu":
+        # lane-parallel TPU decode: 128KB independent blocks, device pipeline
+        from lizard_tpu.ops.lane_decode import decompress_lanes
+        chunks = [data[i:i + 131072] for i in range(0, n, 131072)]
+        streams10 = [compress(c, 10) for c in chunks]
+        decompress_lanes(streams10)  # compile
+        bench("Lizard_decompress -10 (TPU lanes)",
+              lambda: decompress_lanes(streams10))
     hc = huf_compress(data[:128 * 1024])
     if hc:
         bench("HUF_compress", lambda: huf_compress(data[:128 * 1024]),

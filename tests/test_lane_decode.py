@@ -148,3 +148,30 @@ def test_frame_lane_path():
     got = decompress_frame_lanes(frame, interpret=True, spb=SPB,
                                  rtiles=RTILES, groups=GROUPS)
     assert got == datas[:1800]
+
+
+@pytest.mark.parametrize("family_level", [10, 11, 14, 21, 24])
+def test_lane_fuzz_sweep(family_level):
+    """Seeded randomized sweep: mixed content classes, sizes crossing band
+    and super boundaries, both codeword families."""
+    rng = np.random.default_rng(family_level * 977)
+    datas = []
+    for i in range(8):
+        kind = i % 4
+        n = int(rng.integers(1, 2049))
+        if i == 3:
+            n = 2048                       # exactly full test block
+        if i == 5:
+            n = 512                        # exactly one super
+        if kind == 0:
+            datas.append(gen(n, seed=int(rng.integers(1 << 30)), proba=0.85))
+        elif kind == 1:
+            datas.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        elif kind == 2:
+            pat = bytes(rng.integers(0, 256, int(rng.integers(1, 40)),
+                                     dtype=np.uint8))
+            datas.append((pat * (n // len(pat) + 1))[:n])
+        else:
+            head = rng.integers(0, 256, n // 2 + 1, dtype=np.uint8).tobytes()
+            datas.append((head + head)[:n])
+    roundtrip(datas, level=family_level)
