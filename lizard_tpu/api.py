@@ -55,7 +55,7 @@ def decompress_frame(data: bytes, backend: str = "auto", **kw) -> bytes:
             if jax.default_backend() == "tpu" and len(data) > (1 << 20):
                 from lizard_tpu.frame import decompress_frame_lanes
                 return decompress_frame_lanes(data, **kw)
-        except FrameError:
+        except (FrameError, ValueError):
             pass
     kw.pop("interpret", None)
     return _df(data, **kw)

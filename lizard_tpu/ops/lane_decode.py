@@ -841,6 +841,17 @@ def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
     larger LIZv1 windows (chained multi-block streams) must use the
     fallback paths."""
     from lizard_tpu.format.levels import Codewords
+    if batch.codewords == Codewords.LIZv1 and batch.n_blocks:
+        import numpy as _np
+        counts = _np.bincount(batch.stream_id)
+        if counts.max() > 1:
+            # chained LIZv1 inner blocks share a window wider than the
+            # in-VMEM ring (up to 16 MB, lizard_common.h:223-231); decoding
+            # them here would silently mis-resolve far matches
+            raise ValueError(
+                "LIZv1 lane decode requires single-block streams "
+                "(<= 128 KB each); use the XLA/native fallback for "
+                "chained streams")
     lane = prepare_lane_batch(batch, groups=groups)
     if rtiles is None:
         rtiles = LIZ_RING_TILES if lane.family else RING_TILES

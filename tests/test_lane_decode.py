@@ -175,3 +175,17 @@ def test_lane_fuzz_sweep(family_level):
             head = rng.integers(0, 256, n // 2 + 1, dtype=np.uint8).tobytes()
             datas.append((head + head)[:n])
     roundtrip(datas, level=family_level)
+
+
+def test_liz_chained_stream_rejected():
+    """LIZv1 streams spanning multiple inner blocks exceed the lane ring's
+    reach and must be rejected (fallback paths handle them)."""
+    from lizard_tpu.ops.lane_decode import decode_batch_lanes
+    from lizard_tpu.ops.split import split_streams
+    from lizard_tpu.ref.block_encode import compress
+    data = gen(140_000, seed=99, proba=0.7)  # > 128 KB -> 2 inner blocks
+    batch = split_streams([compress(data, 21)])
+    assert batch.n_blocks == 2
+    with pytest.raises(ValueError):
+        decode_batch_lanes(batch, interpret=True, spb=SPB, rtiles=RTILES,
+                           groups=GROUPS)
