@@ -188,6 +188,10 @@ def _decompress_backend(opts, data):
             pass
     dec = FrameDecoder()
     out = dec.update(data)
+    if not dec.finished and len(dec.buf):
+        raise ValueError("truncated frame: unfinished stream")
+    if not dec.finished and data:
+        raise ValueError("truncated frame: unfinished stream")
     return out
 
 

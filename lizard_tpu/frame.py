@@ -358,6 +358,7 @@ class FrameDecoder:
             if (magic & 0xFFFFFFF0) == LIZARDF_MAGIC_SKIPPABLE_START:
                 if len(buf) < 8:
                     return False
+                self.finished = False  # a new frame begins
                 self.skip_left = int.from_bytes(buf[4:8], "little")
                 del buf[:8]
                 self.state = "skip"
@@ -370,6 +371,7 @@ class FrameDecoder:
             if len(buf) < need:
                 return False
             self.info = parse_frame_header(bytes(buf[:need]))
+            self.finished = False  # a new frame begins
             del buf[:self.info.header_size]
             self.xxh = XXH32(0)
             self._frame_out_start = len(self.out)

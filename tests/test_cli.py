@@ -52,3 +52,24 @@ def test_stdout_mode(tmp_path, capsysbinary):
     frame = capsysbinary.readouterr().out
     from lizard_tpu.frame import decompress_frame
     assert decompress_frame(frame) == data
+
+
+def test_truncated_frame_detected(tmp_path):
+    """`-t` and `-d` must fail on truncated frames, including a truncated
+    second frame after a complete one (lizardio rejects unfinished streams)."""
+    import subprocess
+    import sys as _sys
+    from lizard_tpu.frame import compress_frame
+    from lizard_tpu.utils.datagen import gen
+    data = gen(100000, seed=3, proba=0.7)
+    frame = compress_frame(data, 11)
+    bad = tmp_path / "bad.liz"
+    bad.write_bytes(frame[:len(frame) // 2])
+    r = subprocess.run([_sys.executable, "-m", "lizard_tpu.cli", "-t",
+                        str(bad)], capture_output=True, cwd="/root/repo")
+    assert r.returncode != 0
+    bad2 = tmp_path / "bad2.liz"
+    bad2.write_bytes(frame + frame[:len(frame) // 2])
+    r = subprocess.run([_sys.executable, "-m", "lizard_tpu.cli", "-t",
+                        str(bad2)], capture_output=True, cwd="/root/repo")
+    assert r.returncode != 0
