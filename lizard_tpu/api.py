@@ -42,20 +42,23 @@ def compress_frame(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, **kw) -> byt
 
 
 def decompress_frame(data: bytes, backend: str = "auto", **kw) -> bytes:
-    """Frame decode. backend="lanes" forces the TPU lane-parallel kernel;
-    "auto" uses it for eligible frames (blockIndependent, >= 8 blocks) on a
-    TPU backend and falls back to the scalar path otherwise."""
-    from lizard_tpu.frame import FrameError, decompress_frame as _df
-    if backend in ("auto", "lanes"):
+    """Frame decode. backend="lanes" forces the TPU lane-parallel kernel and
+    surfaces its errors; "auto" uses it for eligible frames (blockIndependent,
+    compressed size > 1 MB) on a TPU backend and falls back to the scalar
+    path on any eligibility or runtime failure."""
+    from lizard_tpu.frame import decompress_frame as _df
+    if backend == "lanes":
+        from lizard_tpu.frame import decompress_frame_lanes
+        return decompress_frame_lanes(data, **kw)
+    if backend == "auto":
         try:
-            if backend == "lanes":
-                from lizard_tpu.frame import decompress_frame_lanes
-                return decompress_frame_lanes(data, **kw)
             import jax
             if jax.default_backend() == "tpu" and len(data) > (1 << 20):
                 from lizard_tpu.frame import decompress_frame_lanes
                 return decompress_frame_lanes(data, **kw)
-        except (FrameError, ValueError):
+        except Exception:
+            # Ineligible frame shape (FrameError/ValueError), missing jax,
+            # or an XLA runtime failure: the scalar path below always decodes.
             pass
     kw.pop("interpret", None)
     return _df(data, **kw)

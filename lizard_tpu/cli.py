@@ -159,7 +159,9 @@ def _compress_backend(opts, data):
     level = (opts.level if opts.level >= 10 else 10 * opts.level
              if opts.level else LIZARD_DEFAULT_CLEVEL)
     if (opts.backend == "native" and not opts.block_linked
-            and (10 <= level <= 19 or 30 <= level <= 39)):
+            and 10 <= level <= 19):
+        # 30-39 are NOT routed here: the native encoder emits raw streams,
+        # which would silently drop the Huffman stage those levels promise.
         from lizard_tpu.frame import compress_frame_fast
         return compress_frame_fast(
             data, level=level, block_size_id=opts.block_size_id,
@@ -177,7 +179,9 @@ def _decompress_backend(opts, data):
         from lizard_tpu import runtime
         if runtime.available():
             try:
-                return runtime.decompress_frame(data, max_out=len(data) * 256 + 4096)
+                from lizard_tpu.frame import decoded_size_bound
+                return runtime.decompress_frame(
+                    data, max_out=decoded_size_bound(data))
             except Exception:
                 pass
     if opts.backend in ("lanes", "jax"):
@@ -188,9 +192,10 @@ def _decompress_backend(opts, data):
             pass
     dec = FrameDecoder()
     out = dec.update(data)
-    if not dec.finished and len(dec.buf):
-        raise ValueError("truncated frame: unfinished stream")
-    if not dec.finished and data:
+    # Any unconsumed bytes — a mid-frame truncation OR a trailing fragment
+    # shorter than a next-frame header — mean the file is not a clean
+    # sequence of complete frames (lizardio.c:783-786 warns here; we error).
+    if len(dec.buf) or (not dec.finished and data):
         raise ValueError("truncated frame: unfinished stream")
     return out
 
@@ -228,7 +233,20 @@ def _do_file_decompress(opts, src_path, test_only=False):
             dst_path = src_path[:-len(LIZARD_EXTENSION)]
         else:
             dst_path = src_path + ".out"
-    out = _decompress_backend(opts, data)
+    # Magic dispatch (lizardio.c:743-788): unrecognized leading magic is
+    # passed through unchanged when -f and not test mode, else rejected.
+    from lizard_tpu.frame import LIZARDF_MAGIC, LIZARDF_MAGIC_SKIPPABLE_START
+    magic = int.from_bytes(data[0:4], "little") if len(data) >= 4 else -1
+    if data and magic != LIZARDF_MAGIC and \
+            (magic & 0xFFFFFFF0) != LIZARDF_MAGIC_SKIPPABLE_START:
+        if test_only or not opts.overwrite:
+            raise SystemExit(
+                f"lizard: {src_path}: unrecognized header, file cannot be "
+                f"decoded (use -df to pass through unknown formats)")
+        _log(opts, 3, f"{src_path}: unknown format, passing through")
+        out = data
+    else:
+        out = _decompress_backend(opts, data)
     if test_only:
         _log(opts, 2, f"{src_path}: decoded {len(out)} bytes")
         return

@@ -143,6 +143,45 @@ def parse_frame_header(src: bytes) -> FrameInfo:
     return info
 
 
+def decoded_size_bound(src: bytes) -> int:
+    """Tight upper bound on the decoded size of a (possibly concatenated)
+    frame stream, from headers alone — contentSize when stored, otherwise
+    block-count x maxBlockSize (sizing analogue of lizardio.c:647-698).
+    Raises FrameError on malformed input."""
+    bound = 0
+    p = 0
+    n = len(src)
+    while p < n:
+        magic = int.from_bytes(src[p:p + 4], "little") if p + 4 <= n else -1
+        if (magic & 0xFFFFFFF0) == LIZARDF_MAGIC_SKIPPABLE_START:
+            if p + 8 > n:
+                raise FrameError("skippable frame truncated")
+            p += 8 + int.from_bytes(src[p + 4:p + 8], "little")
+            continue
+        info = parse_frame_header(src[p:])
+        p += info.header_size
+        max_block = LIZARDF_BLOCK_SIZES[info.block_size_id]
+        frame_bound = 0
+        while True:
+            if p + 4 > n:
+                raise FrameError("missing endmark")
+            bsize = int.from_bytes(src[p:p + 4], "little")
+            p += 4
+            if bsize == 0:
+                break
+            stored = bool(bsize & LIZARDF_BLOCKUNCOMPRESSED_FLAG)
+            bsize &= ~LIZARDF_BLOCKUNCOMPRESSED_FLAG
+            frame_bound += bsize if stored else max_block
+            p += bsize
+        if p > n:
+            raise FrameError("block truncated")
+        if info.content_checksum:
+            p += 4
+        bound += (info.content_size if info.content_size is not None
+                  else frame_bound)
+    return bound
+
+
 def decompress_frame(src: bytes, verify_checksum: bool = True) -> bytes:
     """Decode one frame; errors on trailing garbage unless it is another
     frame (use decompress_frames for concatenated/skippable streams)."""

@@ -61,3 +61,30 @@ def test_decode_rejects_bad_level():
         decompress(b"\x05\x00\x00\x00")
     with pytest.raises(CorruptError):
         decompress(b"\x63\x00\x00\x00")
+
+
+def test_stream_leftover_parity_with_reference():
+    """The reference's block-end 'input must be consumed' check
+    (lizard_decompress_liz.h:204-206) covers only the literals stream; extra
+    unread bytes in off16/off24 are ACCEPTED by liblizard (verified against
+    the built reference). Our decoder must match — not be stricter — so
+    streams the reference decodes also decode here."""
+    o = require_oracle()
+    from lizard_tpu.ref.block_decode import _le24
+
+    data = b"hello world, " * 500
+    comp = o.compress(data, 21)
+    p = 1
+    hdr = comp[p]
+    p += 1
+    assert hdr & 0x04 == 0  # not an uncompressed block
+    p += 3 + _le24(comp, p)  # skip len stream
+    off16_len = _le24(comp, p)  # off16 stream header (raw at level 21)
+    mod = bytearray(comp)
+    mod[p:p + 3] = (off16_len + 2).to_bytes(3, "little")
+    mod[p + 3 + off16_len:p + 3 + off16_len] = b"\xaa\xbb"
+    mod = bytes(mod)
+
+    ref_out = o.decompress(mod, len(data))
+    assert ref_out == data  # reference accepts the leftover bytes
+    assert decompress(mod, max_out=len(data)) == data  # so must we

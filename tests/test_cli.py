@@ -73,3 +73,48 @@ def test_truncated_frame_detected(tmp_path):
     r = subprocess.run([_sys.executable, "-m", "lizard_tpu.cli", "-t",
                         str(bad2)], capture_output=True, cwd="/root/repo")
     assert r.returncode != 0
+
+
+def test_trailing_fragment_rejected(tmp_path):
+    """A complete frame followed by a <7-byte tail (an incomplete next-frame
+    header) must fail -t/-d, not silently drop the tail bytes."""
+    src = tmp_path / "w"
+    src.write_bytes(gen(10_000, 4))
+    main(["-z", str(src)])
+    liz = tmp_path / "w.liz"
+    liz.write_bytes(liz.read_bytes() + b"\x04\x22\x4d\x18\x40")  # 5-byte tail
+    with pytest.raises(ValueError):
+        main(["-t", str(liz)])
+    with pytest.raises(ValueError):
+        main(["-d", "-f", str(liz), str(tmp_path / "w.out")])
+
+
+def test_passthrough_unknown_magic(tmp_path):
+    """lizardio.c:779-788: unknown leading magic passes through with -d -f,
+    errors without -f, and always errors in test mode."""
+    raw = tmp_path / "notliz.liz"
+    payload = b"PLAINDATA" * 100
+    raw.write_bytes(payload)
+    out = tmp_path / "notliz"
+    with pytest.raises(SystemExit):
+        main(["-d", str(raw), str(out)])
+    with pytest.raises(SystemExit):
+        main(["-t", "-f", str(raw)])
+    assert main(["-d", "-f", str(raw), str(out)]) == 0
+    assert out.read_bytes() == payload
+
+
+def test_native_max_out_high_ratio(tmp_path, monkeypatch):
+    """cli backend=native: frames compressing >256:1 must still decode via
+    the native path's header-derived output bound (not a len*256 guess)."""
+    from lizard_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    src = tmp_path / "zeros"
+    data = bytes(4 << 20)  # 4 MB of zeros: ratio >> 256:1
+    src.write_bytes(data)
+    monkeypatch.setenv("LIZARD_TPU_BACKEND", "native")
+    assert main(["-z", "-10", str(src)]) == 0
+    os.remove(src)
+    assert main(["-d", str(src) + ".liz"]) == 0
+    assert src.read_bytes() == data
