@@ -14,8 +14,9 @@ def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, backend: str = "re
     """One-shot block-stream compression (Lizard_compress equivalent).
 
     backend="ref": bit-exact scalar encoder (byte-identical to liblizard,
-    all 40 levels). backend="native": the fast C++ host encoder (fastLZ4
-    family, valid-but-not-identical streams, ~100x faster)."""
+    all 40 levels). backend="native": the fast C++ host encoder (all 40
+    levels, both codeword families + Huff0 stage, valid-but-not-identical
+    streams, ~100-1000x faster)."""
     if backend == "ref":
         from lizard_tpu.ref.block_encode import compress as _c
         return _c(data, level)

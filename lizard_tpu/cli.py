@@ -158,10 +158,7 @@ def parse_args(argv, prog="lizard"):
 def _compress_backend(opts, data):
     level = (opts.level if opts.level >= 10 else 10 * opts.level
              if opts.level else LIZARD_DEFAULT_CLEVEL)
-    if (opts.backend == "native" and not opts.block_linked
-            and 10 <= level <= 19):
-        # 30-39 are NOT routed here: the native encoder emits raw streams,
-        # which would silently drop the Huffman stage those levels promise.
+    if opts.backend == "native" and not opts.block_linked:
         from lizard_tpu.frame import compress_frame_fast
         return compress_frame_fast(
             data, level=level, block_size_id=opts.block_size_id,

@@ -245,13 +245,12 @@ def compress_frame_fast(data: bytes, level: int = 11,
                         content_checksum: bool = True,
                         content_size: bool = False) -> bytes:
     """Fast frame compression: blockIndependent frame, each block compressed
-    by the native C++ encoder (valid fastLZ4 streams, not byte-identical to
-    the reference; see lizard_tpu.runtime.compress). Falls back to the
-    bit-exact python encoder when the native runtime is unavailable."""
+    by the native C++ encoder (valid streams for any level 10..49 including
+    the Huff0 stage at >= 30; not byte-identical to the reference; see
+    lizard_tpu.runtime.compress). Falls back to the bit-exact python
+    encoder when the native runtime is unavailable."""
     from lizard_tpu import runtime
     level = validate_level(level)
-    if not (10 <= level <= 19 or 30 <= level <= 39):
-        level = 11  # native encoder emits fastLZ4-family streams
     if block_size_id == 0:
         block_size_id = 1
     block_size_id = _optimal_bsid(block_size_id, len(data))

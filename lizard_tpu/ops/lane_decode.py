@@ -1172,7 +1172,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             fflat = []
             for f in fixes:
                 fflat.extend(f)
-            fflat = jax.lax.while_loop(f_cond, f_body, tuple(fflat))
+            if _ABL != "skipfix":
+                fflat = jax.lax.while_loop(f_cond, f_body, tuple(fflat))
 
             out = []
             for i in range(il):
@@ -1215,7 +1216,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             def c_body(fl):
                 return scan_passes(ctxs, B, fl)
 
-            flat = jax.lax.while_loop(c_cond, c_body, flat)
+            if _ABL != "skipcont":
+                flat = jax.lax.while_loop(c_cond, c_body, flat)
 
             # resolve in-band pointers (log-depth path halving)
             all_encs = [[flat[i * NSC + 9 + j] for j in range(4)]
@@ -1248,7 +1250,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             es = []
             for encs in all_encs:
                 es.extend(encs)
-            es = jax.lax.while_loop(j_cond, j_body, tuple(es))
+            if _ABL != "skipjump":
+                es = jax.lax.while_loop(j_cond, j_body, tuple(es))
             all_encs = [[es[i * 4 + j] for j in range(4)]
                         for i in range(il)]
 

@@ -50,6 +50,13 @@ def _load():
     lib.ltpu_compress_lz4.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_int, ctypes.c_int]
+    lib.ltpu_compress.restype = ctypes.c_int64
+    lib.ltpu_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.ltpu_huf_compress.restype = ctypes.c_int64
+    lib.ltpu_huf_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_char_p, ctypes.c_size_t]
     _lib = lib
     return lib
 
@@ -112,20 +119,37 @@ def huf_decompress(src: bytes, dst_size: int) -> bytes:
 
 
 def compress(data: bytes, level: int = 11, accel: int = 1) -> bytes:
-    """Fast native block-stream compression (fastLZ4 family; greedy hash
-    match finder, native/lizard_runtime.cpp). Output is a valid stream for
-    the given level (10..19, 30..39 accepted; streams are raw) but NOT
-    byte-identical to the reference encoder -- use the `ref` backend for
+    """Fast native block-stream compression, all levels 10..49: greedy
+    match finder (fastLZ4 codewords for 10-19/30-39, LIZv1 with rep-offset
+    for 20-29/40-49) with a native Huff0 entropy stage for levels >= 30
+    (native/lizard_runtime.cpp). Output is a valid stream for the given
+    level -- decodable by liblizard and every decoder here -- but NOT
+    byte-identical to the reference encoder; use the `ref` backend for
     bit-exact parity."""
-    if not (10 <= level <= 19 or 30 <= level <= 39):
-        raise ValueError("native encoder emits fastLZ4-family streams only")
+    if not 10 <= level <= 49:
+        raise ValueError(f"invalid level {level}")
     lib = _load()
     if lib is None:
         from lizard_tpu.ref.block_encode import compress as py
         return py(data, level)
     cap = len(data) + len(data) // 2 + 4096
     dst = ctypes.create_string_buffer(cap)
-    r = lib.ltpu_compress_lz4(data, len(data), dst, cap, level, accel)
+    r = lib.ltpu_compress(data, len(data), dst, cap, level, accel)
     if r < 0:
         raise RuntimeError("native compression failed")
+    return dst.raw[:r]
+
+
+def huf_compress(data: bytes) -> bytes | None:
+    """Native Huff0 compression (4-stream). None = not compressible
+    (caller stores the stream raw), mirroring HUF_compress returning 0."""
+    lib = _load()
+    if lib is None:
+        from lizard_tpu.ref.huf_encode import huf_compress as py
+        return py(data)
+    cap = len(data) + 1024
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.ltpu_huf_compress(data, len(data), dst, cap)
+    if r <= 0:
+        return None
     return dst.raw[:r]

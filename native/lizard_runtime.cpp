@@ -750,3 +750,921 @@ int ltpu_huf_decompress(const uint8_t* src, size_t n, uint8_t* dst,
   return huf_decompress(src, n, dst, dst_size) ? 0 : -1;
 }
 }
+
+// ===========================================================================
+// Huff0 ENCODER (host). A C++ port of this repo's own bit-exact Python
+// oracle (lizard_tpu/ref/huf_encode.py, itself written against
+// lib/entropy/huf_compress.c semantics): canonical Huffman with
+// setMaxHeight(11), CTable serialized as FSE-compressed weights with the
+// 4-bit-nibble fallback, and the 4-stream body with LE16 jump table.
+// Output decodes with both this file's huf_decompress and liblizard.
+// ===========================================================================
+namespace hufenc {
+
+constexpr int kHufTableLogMax = 12;
+constexpr int kHufTableLogDefault = 11;
+constexpr int kFseMinTableLog = 5;
+constexpr int kFseMaxTableLog = 12;
+
+inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
+
+struct BW {
+  // BIT_CStream_t model: LSB-first concat, close() appends the end-mark bit
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int nbits = 0;
+  inline void add(uint32_t v, int nb) {
+    acc |= (uint64_t)(v & ((nb < 32 ? (1u << nb) : 0u) - 1u)) << nbits;
+    nbits += nb;
+    while (nbits >= 8) {
+      buf.push_back((uint8_t)acc);
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  inline void close() {
+    add(1, 1);
+    if (nbits) {
+      buf.push_back((uint8_t)acc);
+      acc = 0;
+      nbits = 0;
+    }
+  }
+};
+
+inline int fse_min_table_log(size_t src_size, int max_sym) {
+  int min_bits_src = highbit32((uint32_t)(src_size - 1)) + 1;
+  int min_bits_symbols = highbit32((uint32_t)max_sym) + 2;
+  return min_bits_src < min_bits_symbols ? min_bits_src : min_bits_symbols;
+}
+
+inline int fse_optimal_table_log(int max_table_log, size_t src_size,
+                                 int max_sym, int minus) {
+  int max_bits_src = highbit32((uint32_t)(src_size - 1)) - minus;
+  int table_log = max_table_log ? max_table_log : 11;
+  if (max_bits_src < table_log) table_log = max_bits_src;
+  int min_bits = fse_min_table_log(src_size, max_sym);
+  if (min_bits > table_log) table_log = min_bits;
+  if (table_log < kFseMinTableLog) table_log = kFseMinTableLog;
+  if (table_log > kFseMaxTableLog) table_log = kFseMaxTableLog;
+  return table_log;
+}
+
+static const uint32_t kRtb[8] = {0,      473195, 504333, 520860,
+                                 550000, 700000, 750000, 830000};
+
+// FSE_normalizeCount; returns false for the rle case
+inline bool fse_normalize_count(int table_log, const uint32_t* count,
+                                size_t total, int max_sym, int16_t* norm) {
+  int scale = 62 - table_log;
+  uint64_t step = (1ull << 62) / total;
+  uint64_t v_step = 1ull << (scale - 20);
+  int64_t still = 1ll << table_log;
+  int largest = 0;
+  int64_t largest_p = 0;
+  uint32_t low_threshold = (uint32_t)(total >> table_log);
+
+  for (int s = 0; s <= max_sym; ++s) {
+    uint32_t c = count[s];
+    if (c == total) return false;  // rle
+    if (c == 0) {
+      norm[s] = 0;
+      continue;
+    }
+    if (c <= low_threshold) {
+      norm[s] = -1;
+      still -= 1;
+    } else {
+      int64_t proba = (int64_t)(((unsigned __int128)c * step) >> scale);
+      if (proba < 8) {
+        uint64_t rest_to_beat = v_step * kRtb[proba];
+        if ((unsigned __int128)c * step - ((unsigned __int128)proba << scale) >
+            rest_to_beat)
+          proba += 1;
+      }
+      if (proba > largest_p) {
+        largest_p = proba;
+        largest = s;
+      }
+      norm[s] = (int16_t)proba;
+      still -= proba;
+    }
+  }
+
+  if (-still >= (norm[largest] >> 1)) {
+    // FSE_normalizeM2
+    int64_t tot = (int64_t)total;
+    int distributed = 0;
+    int64_t low_one = ((int64_t)total * 3) >> (table_log + 1);
+    for (int s = 0; s <= max_sym; ++s) {
+      if (count[s] == 0) {
+        norm[s] = 0;
+        continue;
+      }
+      if (count[s] <= low_threshold) {
+        norm[s] = -1;
+        distributed++;
+        tot -= count[s];
+        continue;
+      }
+      if ((int64_t)count[s] <= low_one) {
+        norm[s] = 1;
+        distributed++;
+        tot -= count[s];
+        continue;
+      }
+      norm[s] = -2;
+    }
+    int64_t to_distribute = (1ll << table_log) - distributed;
+    if (to_distribute && tot / to_distribute > low_one) {
+      low_one = (tot * 3) / (to_distribute * 2);
+      for (int s = 0; s <= max_sym; ++s) {
+        if (norm[s] == -2 && (int64_t)count[s] <= low_one) {
+          norm[s] = 1;
+          distributed++;
+          tot -= count[s];
+        }
+      }
+      to_distribute = (1ll << table_log) - distributed;
+    }
+    if (distributed == max_sym + 1) {
+      int max_v = 0;
+      uint32_t max_c = 0;
+      for (int s = 0; s <= max_sym; ++s)
+        if (count[s] > max_c) {
+          max_v = s;
+          max_c = count[s];
+        }
+      norm[max_v] = (int16_t)(norm[max_v] + to_distribute);
+      return true;
+    }
+    int v_step_log = 62 - table_log;
+    uint64_t mid = (1ull << (v_step_log - 1)) - 1;
+    uint64_t r_step = (((1ull << v_step_log) * to_distribute) + mid) / tot;
+    uint64_t tmp_total = mid;
+    for (int s = 0; s <= max_sym; ++s) {
+      if (norm[s] == -2) {
+        uint64_t end = tmp_total + count[s] * r_step;
+        int weight =
+            (int)((end >> v_step_log) - (tmp_total >> v_step_log));
+        if (weight < 1) return false;
+        norm[s] = (int16_t)weight;
+        tmp_total = end;
+      }
+    }
+  } else {
+    norm[largest] = (int16_t)(norm[largest] + still);
+  }
+  return true;
+}
+
+inline bool fse_write_ncount(const int16_t* norm, int max_sym, int table_log,
+                             std::vector<uint8_t>& out) {
+  uint64_t bit_stream = (uint64_t)(table_log - kFseMinTableLog);
+  int bit_count = 4;
+  int remaining = (1 << table_log) + 1;
+  int threshold = 1 << table_log;
+  int nb_bits = table_log + 1;
+  int charnum = 0;
+  bool previous0 = false;
+
+  while (remaining > 1) {
+    if (previous0) {
+      int start = charnum;
+      while (!norm[charnum]) charnum++;
+      while (charnum >= start + 24) {
+        start += 24;
+        bit_stream += 0xFFFFull << bit_count;
+        out.push_back((uint8_t)bit_stream);
+        out.push_back((uint8_t)(bit_stream >> 8));
+        bit_stream >>= 16;
+      }
+      while (charnum >= start + 3) {
+        start += 3;
+        bit_stream += 3ull << bit_count;
+        bit_count += 2;
+      }
+      bit_stream += (uint64_t)(charnum - start) << bit_count;
+      bit_count += 2;
+      if (bit_count > 16) {
+        out.push_back((uint8_t)bit_stream);
+        out.push_back((uint8_t)(bit_stream >> 8));
+        bit_stream >>= 16;
+        bit_count -= 16;
+      }
+    }
+    int count = norm[charnum];
+    charnum++;
+    int maxv = (2 * threshold - 1) - remaining;
+    remaining -= count < 0 ? -count : count;
+    count++;
+    if (count >= threshold) count += maxv;
+    bit_stream += (uint64_t)count << bit_count;
+    bit_count += nb_bits;
+    if (count < maxv) bit_count -= 1;
+    previous0 = count == 1;
+    if (remaining < 1) return false;
+    while (remaining < threshold) {
+      nb_bits--;
+      threshold >>= 1;
+    }
+    if (bit_count > 16) {
+      out.push_back((uint8_t)bit_stream);
+      out.push_back((uint8_t)(bit_stream >> 8));
+      bit_stream >>= 16;
+      bit_count -= 16;
+    }
+  }
+  out.push_back((uint8_t)bit_stream);
+  out.push_back((uint8_t)(bit_stream >> 8));
+  size_t n = out.size() - 2 + (size_t)((bit_count + 7) / 8);
+  if (charnum > max_sym + 1) return false;
+  out.resize(n);
+  return true;
+}
+
+struct FseCT {
+  int table_log;
+  uint16_t state_table[1 << kFseMaxTableLog];
+  int32_t delta_nb_bits[256];
+  int32_t delta_find_state[256];
+};
+
+inline bool fse_build_ctable(const int16_t* norm, int max_sym, int table_log,
+                             FseCT& ct) {
+  int table_size = 1 << table_log;
+  ct.table_log = table_log;
+  int high = table_size - 1;
+  int cumul[258];
+  std::vector<uint8_t> table_symbol(table_size);
+  cumul[0] = 0;
+  for (int u = 1; u <= max_sym + 1; ++u) {
+    if (norm[u - 1] == -1) {
+      cumul[u] = cumul[u - 1] + 1;
+      table_symbol[high--] = (uint8_t)(u - 1);
+    } else {
+      cumul[u] = cumul[u - 1] + norm[u - 1];
+    }
+  }
+  cumul[max_sym + 1] = table_size + 1;
+
+  int step = (table_size >> 1) + (table_size >> 3) + 3;
+  int mask = table_size - 1;
+  int pos = 0;
+  for (int s = 0; s <= max_sym; ++s) {
+    for (int i = 0; i < (norm[s] > 0 ? norm[s] : 0); ++i) {
+      table_symbol[pos] = (uint8_t)s;
+      pos = (pos + step) & mask;
+      while (pos > high) pos = (pos + step) & mask;
+    }
+  }
+  if (pos != 0) return false;
+
+  for (int u = 0; u < table_size; ++u) {
+    int s = table_symbol[u];
+    ct.state_table[cumul[s]++] = (uint16_t)(table_size + u);
+  }
+
+  int total = 0;
+  for (int s = 0; s <= max_sym; ++s) {
+    int n = norm[s];
+    if (n == 0) {
+      ct.delta_nb_bits[s] = 0;
+      ct.delta_find_state[s] = 0;
+      continue;
+    }
+    if (n == -1 || n == 1) {
+      ct.delta_nb_bits[s] = (table_log << 16) - (1 << table_log);
+      ct.delta_find_state[s] = total - 1;
+      total += 1;
+    } else {
+      int max_bits_out = table_log - highbit32((uint32_t)(n - 1));
+      int min_state_plus = n << max_bits_out;
+      ct.delta_nb_bits[s] = (max_bits_out << 16) - min_state_plus;
+      ct.delta_find_state[s] = total - n;
+      total += n;
+    }
+  }
+  return true;
+}
+
+struct FseCState {
+  int32_t value;
+  inline void init(const FseCT& ct, uint8_t s) {
+    int nb_out = (ct.delta_nb_bits[s] + (1 << 15)) >> 16;
+    int32_t v = (nb_out << 16) - ct.delta_nb_bits[s];
+    value = ct.state_table[(v >> nb_out) + ct.delta_find_state[s]];
+  }
+  inline void encode(const FseCT& ct, BW& bw, uint8_t s) {
+    int nb_out = (value + ct.delta_nb_bits[s]) >> 16;
+    bw.add((uint32_t)value, nb_out);
+    value = ct.state_table[(value >> nb_out) + ct.delta_find_state[s]];
+  }
+  inline void flush(const FseCT& ct, BW& bw) {
+    bw.add((uint32_t)value, ct.table_log);
+  }
+};
+
+inline void fse_compress_using_ctable(const uint8_t* src, size_t n,
+                                      const FseCT& ct,
+                                      std::vector<uint8_t>& out) {
+  if (n <= 2) return;
+  BW bw;
+  size_t ip = n;
+  FseCState c1, c2;
+  if (n & 1) {
+    c1.init(ct, src[ip - 1]);
+    c2.init(ct, src[ip - 2]);
+    ip -= 2;
+    c1.encode(ct, bw, src[ip - 1]);
+    ip -= 1;
+  } else {
+    c2.init(ct, src[ip - 1]);
+    c1.init(ct, src[ip - 2]);
+    ip -= 2;
+  }
+  if ((n - 2) & 2) {
+    c2.encode(ct, bw, src[ip - 1]);
+    c1.encode(ct, bw, src[ip - 2]);
+    ip -= 2;
+  }
+  while (ip > 0) {
+    c2.encode(ct, bw, src[ip - 1]);
+    c1.encode(ct, bw, src[ip - 2]);
+    c2.encode(ct, bw, src[ip - 3]);
+    c1.encode(ct, bw, src[ip - 4]);
+    ip -= 4;
+  }
+  c2.flush(ct, bw);
+  c1.flush(ct, bw);
+  bw.close();
+  out = std::move(bw.buf);
+}
+
+// HUF_compressWeights: 0 -> not compressible, 1 -> rle, 2 -> out has bytes
+inline int huf_compress_weights(const uint8_t* weights, size_t wt_size,
+                                std::vector<uint8_t>& out) {
+  if (wt_size <= 1) return 0;
+  uint32_t count[kHufTableLogMax + 1] = {0};
+  int max_sym = kHufTableLogMax;
+  for (size_t i = 0; i < wt_size; ++i) count[weights[i]]++;
+  while (max_sym && !count[max_sym]) max_sym--;
+  uint32_t max_count = 0;
+  for (int s = 0; s <= max_sym; ++s)
+    if (count[s] > max_count) max_count = count[s];
+  if (max_count == wt_size) return 1;
+  if (max_count == 1) return 0;
+  int table_log = fse_optimal_table_log(6, wt_size, max_sym, 2);
+  int16_t norm[kHufTableLogMax + 2];
+  if (!fse_normalize_count(table_log, count, wt_size, max_sym, norm))
+    return 1;
+  std::vector<uint8_t> header;
+  if (!fse_write_ncount(norm, max_sym, table_log, header)) return 0;
+  FseCT ct;
+  if (!fse_build_ctable(norm, max_sym, table_log, ct)) return 0;
+  std::vector<uint8_t> body;
+  fse_compress_using_ctable(weights, wt_size, ct, body);
+  if (body.empty()) return 0;
+  out = std::move(header);
+  out.insert(out.end(), body.begin(), body.end());
+  return 2;
+}
+
+// HUF_sort: rank-bucketed insertion sort, descending count
+inline void huf_sort(const uint32_t* count, int max_sym, uint32_t* node_count,
+                     uint8_t* node_byte) {
+  uint32_t rank_base[32] = {0};
+  for (int n = 0; n <= max_sym; ++n)
+    rank_base[highbit32(count[n] + 1)]++;
+  for (int n = 30; n > 0; --n) rank_base[n - 1] += rank_base[n];
+  uint32_t rank_cur[32];
+  std::memcpy(rank_cur, rank_base, sizeof(rank_base));
+  for (int n = 0; n <= max_sym; ++n) {
+    uint32_t c = count[n];
+    int r = highbit32(c + 1) + 1;
+    uint32_t pos = rank_cur[r]++;
+    while (pos > rank_base[r] && c > node_count[pos - 1]) {
+      node_count[pos] = node_count[pos - 1];
+      node_byte[pos] = node_byte[pos - 1];
+      pos--;
+    }
+    node_count[pos] = c;
+    node_byte[pos] = (uint8_t)n;
+  }
+}
+
+// HUF_setMaxHeight
+inline int huf_set_max_height(uint8_t* nb_bits, const uint32_t* counts,
+                              int last_non_null, int max_nb_bits) {
+  int largest_bits = nb_bits[last_non_null];
+  if (largest_bits <= max_nb_bits) return largest_bits;
+
+  int64_t total_cost = 0;
+  int base_cost = 1 << (largest_bits - max_nb_bits);
+  int n = last_non_null;
+  while (nb_bits[n] > max_nb_bits) {
+    total_cost += base_cost - (1 << (largest_bits - nb_bits[n]));
+    nb_bits[n] = (uint8_t)max_nb_bits;
+    n--;
+  }
+  while (nb_bits[n] == max_nb_bits) n--;
+
+  total_cost >>= (largest_bits - max_nb_bits);
+
+  constexpr uint32_t kNoSymbol = 0xF0F0F0F0;
+  uint32_t rank_last[kHufTableLogMax + 2];
+  for (int i = 0; i < kHufTableLogMax + 2; ++i) rank_last[i] = kNoSymbol;
+  int current_nb_bits = max_nb_bits;
+  for (int pos = n; pos >= 0; --pos) {
+    if (nb_bits[pos] >= current_nb_bits) continue;
+    current_nb_bits = nb_bits[pos];
+    rank_last[max_nb_bits - current_nb_bits] = (uint32_t)pos;
+  }
+
+  while (total_cost > 0) {
+    int n_bits_to_decrease = highbit32((uint32_t)total_cost) + 1;
+    while (n_bits_to_decrease > 1) {
+      uint32_t high_pos = rank_last[n_bits_to_decrease];
+      uint32_t low_pos = rank_last[n_bits_to_decrease - 1];
+      if (high_pos == kNoSymbol) {
+        n_bits_to_decrease--;
+        continue;
+      }
+      if (low_pos == kNoSymbol) break;
+      if (counts[high_pos] <= 2 * counts[low_pos]) break;
+      n_bits_to_decrease--;
+    }
+    while (n_bits_to_decrease <= kHufTableLogMax &&
+           rank_last[n_bits_to_decrease] == kNoSymbol)
+      n_bits_to_decrease++;
+    total_cost -= 1ll << (n_bits_to_decrease - 1);
+    if (rank_last[n_bits_to_decrease - 1] == kNoSymbol)
+      rank_last[n_bits_to_decrease - 1] = rank_last[n_bits_to_decrease];
+    nb_bits[rank_last[n_bits_to_decrease]]++;
+    if (rank_last[n_bits_to_decrease] == 0) {
+      rank_last[n_bits_to_decrease] = kNoSymbol;
+    } else {
+      rank_last[n_bits_to_decrease]--;
+      if (nb_bits[rank_last[n_bits_to_decrease]] !=
+          max_nb_bits - n_bits_to_decrease)
+        rank_last[n_bits_to_decrease] = kNoSymbol;
+    }
+  }
+
+  while (total_cost < 0) {
+    if (rank_last[1] == kNoSymbol) {
+      while (nb_bits[n] == max_nb_bits) n--;
+      nb_bits[n + 1]--;
+      rank_last[1] = (uint32_t)(n + 1);
+      total_cost++;
+      continue;
+    }
+    nb_bits[rank_last[1] + 1]--;
+    rank_last[1]++;
+    total_cost++;
+  }
+  return max_nb_bits;
+}
+
+// HUF_buildCTable: fills sym_nb_bits/sym_val (size max_sym+1); returns
+// huff_log or 0 on failure
+inline int huf_build_ctable(const uint32_t* count, int max_sym,
+                            int max_nb_bits, uint8_t* sym_nb_bits,
+                            uint16_t* sym_val) {
+  uint32_t node_count[256];
+  uint8_t node_byte[256];
+  huf_sort(count, max_sym, node_count, node_byte);
+
+  int non_null_rank = max_sym;
+  while (node_count[non_null_rank] == 0) non_null_rank--;
+
+  int n_internal = non_null_rank;  // number of internal nodes
+  if (n_internal == 0) {
+    // single symbol: caller treats as RLE before reaching here
+    return 0;
+  }
+  uint32_t icounts[256];
+  int iparents[256];
+  int leaf_parent[256];
+  int low_s = non_null_rank;
+  int node_nb = 0;
+  icounts[0] = node_count[low_s] + node_count[low_s - 1];
+  leaf_parent[low_s] = leaf_parent[low_s - 1] = 0;
+  node_nb = 1;
+  low_s -= 2;
+  int low_n = 0;
+  constexpr uint64_t kBig = 1ull << 30;
+
+  auto leaf_count = [&](int i) -> uint64_t {
+    return i >= 0 ? (uint64_t)node_count[i] : (1ull << 31);
+  };
+  auto icount = [&](int i) -> uint64_t {
+    return i < node_nb ? (uint64_t)icounts[i] : kBig;
+  };
+
+  while (node_nb < n_internal) {
+    int kind1, idx1, kind2, idx2;
+    if (leaf_count(low_s) < icount(low_n)) {
+      kind1 = 0;
+      idx1 = low_s--;
+    } else {
+      kind1 = 1;
+      idx1 = low_n++;
+    }
+    if (leaf_count(low_s) < icount(low_n)) {
+      kind2 = 0;
+      idx2 = low_s--;
+    } else {
+      kind2 = 1;
+      idx2 = low_n++;
+    }
+    icounts[node_nb] =
+        (uint32_t)((kind1 ? icounts[idx1] : leaf_count(idx1)) +
+                   (kind2 ? icounts[idx2] : leaf_count(idx2)));
+    if (kind1) iparents[idx1] = node_nb; else leaf_parent[idx1] = node_nb;
+    if (kind2) iparents[idx2] = node_nb; else leaf_parent[idx2] = node_nb;
+    node_nb++;
+  }
+
+  int root = n_internal - 1;
+  uint8_t inb[256];
+  inb[root] = 0;
+  for (int i = root - 1; i >= 0; --i) inb[i] = inb[iparents[i]] + 1;
+  uint8_t nb_bits[256] = {0};
+  for (int i = 0; i <= non_null_rank; ++i)
+    nb_bits[i] = inb[leaf_parent[i]] + 1;
+
+  max_nb_bits = huf_set_max_height(nb_bits, node_count, non_null_rank,
+                                   max_nb_bits);
+  if (max_nb_bits > kHufTableLogMax) return 0;
+
+  uint16_t nb_per_rank[kHufTableLogMax + 1] = {0};
+  for (int i = 0; i <= non_null_rank; ++i) nb_per_rank[nb_bits[i]]++;
+  uint16_t val_per_rank[kHufTableLogMax + 1] = {0};
+  {
+    uint32_t minv = 0;
+    for (int b = max_nb_bits; b > 0; --b) {
+      val_per_rank[b] = (uint16_t)minv;
+      minv += nb_per_rank[b];
+      minv >>= 1;
+    }
+  }
+  for (int i = 0; i <= max_sym; ++i) sym_nb_bits[node_byte[i]] = nb_bits[i];
+  for (int s = 0; s <= max_sym; ++s)
+    sym_val[s] = val_per_rank[sym_nb_bits[s]]++;
+  return max_nb_bits;
+}
+
+// HUF_writeCTable
+inline bool huf_write_ctable(const uint8_t* sym_nb_bits, int max_sym,
+                             int huff_log, std::vector<uint8_t>& out) {
+  uint8_t bits_to_weight[kHufTableLogMax + 1] = {0};
+  for (int n = 1; n <= huff_log; ++n)
+    bits_to_weight[n] = (uint8_t)(huff_log + 1 - n);
+  uint8_t weights[256];
+  for (int n = 0; n < max_sym; ++n)
+    weights[n] = bits_to_weight[sym_nb_bits[n]];
+
+  std::vector<uint8_t> comp;
+  int r = huf_compress_weights(weights, (size_t)max_sym, comp);
+  if (r == 2 && comp.size() > 1 && comp.size() < (size_t)max_sym / 2) {
+    out.push_back((uint8_t)comp.size());
+    out.insert(out.end(), comp.begin(), comp.end());
+    return true;
+  }
+  if (max_sym > 128) return false;
+  out.push_back((uint8_t)(128 + (max_sym - 1)));
+  uint8_t w[257];
+  std::memcpy(w, weights, max_sym);
+  w[max_sym] = 0;
+  for (int n = 0; n < max_sym; n += 2)
+    out.push_back((uint8_t)((w[n] << 4) + w[n + 1]));
+  return true;
+}
+
+inline void huf_encode_1x(const uint8_t* src, size_t len,
+                          const uint16_t* sym_val, const uint8_t* sym_nb_bits,
+                          std::vector<uint8_t>& out) {
+  BW bw;
+  size_t n = len & ~(size_t)3;
+  size_t rem = len & 3;
+  if (rem >= 3) bw.add(sym_val[src[n + 2]], sym_nb_bits[src[n + 2]]);
+  if (rem >= 2) bw.add(sym_val[src[n + 1]], sym_nb_bits[src[n + 1]]);
+  if (rem >= 1) bw.add(sym_val[src[n]], sym_nb_bits[src[n]]);
+  while (n > 0) {
+    bw.add(sym_val[src[n - 1]], sym_nb_bits[src[n - 1]]);
+    bw.add(sym_val[src[n - 2]], sym_nb_bits[src[n - 2]]);
+    bw.add(sym_val[src[n - 3]], sym_nb_bits[src[n - 3]]);
+    bw.add(sym_val[src[n - 4]], sym_nb_bits[src[n - 4]]);
+    n -= 4;
+  }
+  bw.close();
+  out = std::move(bw.buf);
+}
+
+// HUF_compress (4-stream). Returns true and fills out; false = caller
+// should store the stream raw.
+inline bool huf_compress(const uint8_t* src, size_t n,
+                         std::vector<uint8_t>& out) {
+  if (n == 0 || n > 128 * 1024 || n < 12) return false;
+  uint32_t count[256] = {0};
+  for (size_t i = 0; i < n; ++i) count[src[i]]++;
+  int max_sym = 255;
+  while (max_sym && !count[max_sym]) max_sym--;
+  uint32_t largest = 0;
+  for (int s = 0; s <= max_sym; ++s)
+    if (count[s] > largest) largest = count[s];
+  if (largest == n) {
+    out.assign(1, src[0]);  // rle
+    return true;
+  }
+  if (largest <= (n >> 7) + 1) return false;
+
+  int huff_log = fse_optimal_table_log(kHufTableLogDefault, n, max_sym, 1);
+  uint8_t sym_nb_bits[256] = {0};
+  uint16_t sym_val[256] = {0};
+  huff_log = huf_build_ctable(count, max_sym, huff_log, sym_nb_bits, sym_val);
+  if (huff_log == 0) return false;
+  std::vector<uint8_t> header;
+  if (!huf_write_ctable(sym_nb_bits, max_sym, huff_log, header)) return false;
+  if (header.size() + 12 >= n) return false;
+
+  size_t seg = (n + 3) / 4;
+  std::vector<uint8_t> parts[4];
+  for (int i = 0; i < 4; ++i) {
+    size_t a = (size_t)i * seg;
+    size_t b = i < 3 ? a + seg : n;
+    huf_encode_1x(src + a, b - a, sym_val, sym_nb_bits, parts[i]);
+    if (parts[i].empty() || parts[i].size() > 0xFFFF) return false;
+  }
+  out = std::move(header);
+  for (int i = 0; i < 3; ++i) {
+    out.push_back((uint8_t)parts[i].size());
+    out.push_back((uint8_t)(parts[i].size() >> 8));
+  }
+  for (int i = 0; i < 4; ++i)
+    out.insert(out.end(), parts[i].begin(), parts[i].end());
+  if (out.size() >= n - 1) return false;
+  return true;
+}
+
+}  // namespace hufenc
+
+// ===========================================================================
+// LIZv1-family block-stream ENCODER + all-level dispatch. Greedy hash match
+// finder with rep-offset awareness emitting the LIZv1 codeword scheme
+// (written against the format pinned by lizard_tpu/ref/block_encode.py
+// encode_seq_liz, i.e. lib/lizard_compress_liz.h:43-165 semantics):
+//   token < 31     : long-offset match, ml = token + 16, offset from off24
+//   token == 31    : long-offset match, ml = 47 + ext, offset from off24
+//   token >= 32    : ll = token&7 (7 = +ext), ml = (token>>3)&15 (15 = +ext),
+//                    bit7 set -> rep offset (reuse last), else off16
+// Length extensions ride the literals stream. Levels >= 30 additionally gate
+// the flags/literals streams through the Huff0 encoder above
+// (Lizard_writeStream, lizard_compress.c:141-183).
+// ===========================================================================
+namespace {
+
+constexpr uint32_t kMaxOff24 = (1u << 24) - 1;
+constexpr uint32_t kMmLongOff = 16;  // min match length for offsets >= 1<<16
+
+struct LizAcc {
+  std::vector<uint8_t> flags, lits, off16, off24;
+  uint32_t last_off = 0;
+};
+
+inline void emit_seq_liz(const uint8_t* src, size_t anchor, size_t ip,
+                         size_t mlen, uint32_t off, LizAcc& a) {
+  size_t ll = ip - anchor;
+  size_t tok = a.flags.size();
+  a.flags.push_back(0);
+
+  if (ll > 0 || off < 65536) {
+    if (ll >= 7) {
+      a.flags[tok] = 7;
+      put_ext(a.lits, (uint32_t)(ll - 7));
+    } else {
+      a.flags[tok] = (uint8_t)ll;
+    }
+    a.lits.insert(a.lits.end(), src + anchor, src + ip);
+    if (off >= 65536) {
+      // literals carried by a zero-length rep token, then the long token
+      a.flags[tok] += 128;
+      tok = a.flags.size();
+      a.flags.push_back(0);
+    }
+  }
+
+  if (off >= 65536) {
+    if (mlen - kMmLongOff >= 31) {
+      a.flags[tok] = 31;
+      put_ext(a.lits, (uint32_t)(mlen - kMmLongOff - 31));
+    } else {
+      a.flags[tok] = (uint8_t)(mlen - kMmLongOff);
+    }
+    put_le24(a.off24, off);
+    a.last_off = off;
+  } else {
+    if (off == 0) {
+      a.flags[tok] += 128;  // rep: reuse last_off
+    } else {
+      a.last_off = off;
+      a.off16.push_back((uint8_t)off);
+      a.off16.push_back((uint8_t)(off >> 8));
+    }
+    if (mlen >= 15) {
+      a.flags[tok] += 15 << 3;
+      put_ext(a.lits, (uint32_t)(mlen - 15));
+    } else {
+      a.flags[tok] += (uint8_t)(mlen << 3);
+    }
+  }
+}
+
+inline size_t match_fwd(const uint8_t* src, size_t a, size_t b, size_t lim) {
+  size_t l = 0;
+  while (b + l + 8 <= lim) {
+    uint64_t x = rd64(src + a + l) ^ rd64(src + b + l);
+    if (x) return l + (__builtin_ctzll(x) >> 3);
+    l += 8;
+  }
+  while (b + l < lim && src[a + l] == src[b + l]) ++l;
+  return l;
+}
+
+// encode src[b0, b1) as one inner block's LIZv1 streams; window shared
+// across inner blocks of the same stream (hash positions absolute in src)
+void encode_inner_liz(const uint8_t* src, size_t b0, size_t b1, size_t n,
+                      uint32_t* htab, int hlog, int accel, LizAcc& a) {
+  a.flags.clear();
+  a.lits.clear();
+  a.off16.clear();
+  a.off24.clear();
+  a.last_off = 0;  // the decoder resets last_off at each inner block
+  size_t ip = b0, anchor = b0;
+  size_t mflimit = (b1 >= 20 && b1 - 20 >= b0) ? b1 - 20 : b0;
+  size_t copy_lim = b1 - (b1 - b0 > kLastLiterals ? kLastLiterals : 0);
+
+  if (b1 - b0 > 24) {
+    uint32_t searches = 0;
+    while (ip < mflimit) {
+      size_t best_len = 0;
+      uint32_t best_off = 0;  // 0 encodes rep
+      // rep-offset probe: free to encode (no offset bytes)
+      if (a.last_off && ip >= a.last_off) {
+        size_t l = match_fwd(src, ip - a.last_off, ip, copy_lim);
+        if (l >= 2) {
+          best_len = l;
+          best_off = 0;
+        }
+      }
+      uint32_t v = rd32(src + ip);
+      uint32_t h = ehash(v, hlog);
+      size_t cand = htab[h];
+      htab[h] = (uint32_t)ip;
+      if (cand < ip && cand + 8 <= ip && ip - cand <= kMaxOff24 &&
+          rd32(src + cand) == v) {
+        uint32_t off = (uint32_t)(ip - cand);
+        size_t l = 4 + match_fwd(src, cand + 4, ip + 4, copy_lim);
+        // long offsets must clear MM_LONGOFF and pay 3 offset bytes;
+        // short new offsets pay 2, a rep none -- margin biases the pick
+        bool usable = off < 65536 || l >= kMmLongOff;
+        size_t margin =
+            off >= 65536 ? 3 : (best_off == 0 && best_len ? 1 : 0);
+        if (usable && l > best_len + margin) {
+          best_len = l;
+          best_off = off;
+        }
+      }
+      if ((best_len >= 4 && best_off != 0) ||
+          (best_len >= 2 && best_off == 0)) {
+        size_t mq = ip;
+        // backward extension (offset preserved; source may reach into
+        // earlier inner blocks -- the window is the whole stream)
+        uint32_t eff_off = best_off ? best_off : a.last_off;
+        while (mq > anchor && mq >= (size_t)eff_off + 1 &&
+               src[mq - 1] == src[mq - 1 - eff_off]) {
+          --mq;
+          ++best_len;
+        }
+        emit_seq_liz(src, anchor, mq, best_len, best_off, a);
+        anchor = mq + best_len;
+        ip = anchor;
+        searches = 0;
+        if (ip - 2 > b0 && ip < mflimit)
+          htab[ehash(rd32(src + ip - 2), hlog)] = (uint32_t)(ip - 2);
+        continue;
+      }
+      ip += 1 + (searches++ >> (6 + (accel > 1 ? accel - 1 : 0)));
+    }
+  }
+  a.lits.insert(a.lits.end(), src + anchor, src + b1);
+}
+
+// Lizard_writeStream: append one stream, optionally Huff0-gated. Returns
+// the header-flag multiplier (1 when Huffman was kept).
+inline int write_stream_n(std::vector<uint8_t>& out,
+                          const std::vector<uint8_t>& s, bool use_huff) {
+  if (use_huff && s.size() > 1024) {
+    std::vector<uint8_t> comp;
+    if (hufenc::huf_compress(s.data(), s.size(), comp) && !comp.empty() &&
+        comp.size() + comp.size() / 8 + 512 < s.size()) {
+      put_le24(out, (uint32_t)s.size());
+      put_le24(out, (uint32_t)comp.size());
+      out.insert(out.end(), comp.begin(), comp.end());
+      return 1;
+    }
+  }
+  put_le24(out, (uint32_t)s.size());
+  out.insert(out.end(), s.begin(), s.end());
+  return 0;
+}
+
+// Lizard_writeBlock: serialize one inner block (stream order lens, off16,
+// off24, flags, literals; stored-block fallbacks, lizard_compress.c:186-250)
+inline void write_block_n(std::vector<uint8_t>& out, const uint8_t* src,
+                          size_t b0, size_t raw,
+                          const std::vector<uint8_t>& flags,
+                          const std::vector<uint8_t>& lits,
+                          const std::vector<uint8_t>& off16,
+                          const std::vector<uint8_t>& off24, bool huff) {
+  static const std::vector<uint8_t> kEmpty;
+  size_t sum_len =
+      flags.size() + lits.size() + off16.size() + off24.size();
+
+  auto write_uncompressed = [&]() {
+    out.push_back(kFlagUncompressed);
+    put_le24(out, (uint32_t)raw);
+    out.insert(out.end(), src + b0, src + b0 + raw);
+  };
+
+  if (lits.size() < 16 || sum_len + 5 * 3 + 1 > raw) {
+    write_uncompressed();
+    return;
+  }
+  size_t header_pos = out.size();
+  out.push_back(0);
+  write_stream_n(out, kEmpty, false);                       // lens
+  out[header_pos] += write_stream_n(out, off16, false) * 4;
+  out[header_pos] += write_stream_n(out, off24, false) * 8;
+  out[header_pos] += write_stream_n(out, flags, huff) * 2;
+  out[header_pos] += write_stream_n(out, lits, huff) * 1;
+
+  size_t comp = out.size() - header_pos;
+  if (comp + comp / 32 + 512 > raw) {
+    out.resize(header_pos);
+    write_uncompressed();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `src` into a Lizard block stream at any level 10..49: greedy
+// match finder (fastLZ4 codewords for 10-19/30-39, LIZv1 with rep-offset
+// for 20-29/40-49), Huff0 entropy stage for levels >= 30. Valid streams
+// for liblizard and this repo's decoders; NOT byte-identical to the
+// reference encoder (the bit-exact path is lizard_tpu/ref/block_encode.py).
+// Returns bytes written or -1 if dst is too small.
+int64_t ltpu_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap,
+                      int level, int accel) {
+  if (level < 10 || level > 49) return -2;
+  bool lz4 = level_is_lz4(level);
+  bool huff = level >= 30;
+  int hlog = 17;
+  std::vector<uint32_t> htab((size_t)1 << hlog, 0xFFFFFFFFu);
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 1024);
+  out.push_back((uint8_t)level);
+  EncAcc acc;
+  LizAcc lacc;
+  static const std::vector<uint8_t> kEmpty;
+  for (size_t b0 = 0; b0 < n; b0 += kBlock) {
+    size_t b1 = b0 + kBlock < n ? b0 + kBlock : n;
+    if (lz4) {
+      encode_inner_lz4(src, b0, b1, n, htab.data(), hlog, accel, acc);
+      write_block_n(out, src, b0, b1 - b0, acc.flags, acc.lits, kEmpty,
+                    kEmpty, huff);
+    } else {
+      encode_inner_liz(src, b0, b1, n, htab.data(), hlog, accel, lacc);
+      write_block_n(out, src, b0, b1 - b0, lacc.flags, lacc.lits, lacc.off16,
+                    lacc.off24, huff);
+    }
+  }
+  if (out.size() > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+// standalone Huff0 compress (0 = incompressible; caller stores raw)
+int64_t ltpu_huf_compress(const uint8_t* src, size_t n, uint8_t* dst,
+                          size_t cap) {
+  std::vector<uint8_t> out;
+  if (!hufenc::huf_compress(src, n, out)) return 0;
+  if (out.size() > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+}  // extern "C"

@@ -24,7 +24,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", "3"))
 CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
