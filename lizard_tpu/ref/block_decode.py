@@ -78,17 +78,22 @@ def _read_length_ext(lit: _Stream, iend: int, base: int) -> int:
     return length + base
 
 
-def _decode_block_lz4(streams, out: bytearray, window_base: int) -> None:
+def _decode_block_lz4(streams, out: bytearray, window_base: int,
+                      stop_at: int | None = None) -> None:
     """Token loop for the fastLZ4 family (lib/lizard_decompress_lz4.h).
 
     `out` holds all previously decoded output of this compressed stream;
     matches may reach back across inner-block boundaries (the window is the
     shared prefix). `window_base` is the lowest out-index matches may touch.
+    stop_at: early-exit once len(out) reaches it, mid-token-loop
+    (Lizard_decompress_safe_partial, lizard_decompress_lz4.h:82,144).
     """
     flags, lit = streams["flags"], streams["literals"]
     iend = lit.end
 
     while flags.pos < flags.end:
+        if stop_at is not None and len(out) >= stop_at:
+            return
         token = flags.data[flags.pos]
         flags.pos += 1
 
@@ -127,17 +132,21 @@ def _decode_block_lz4(streams, out: bytearray, window_base: int) -> None:
     lit.pos = lit.end
 
 
-def _decode_block_liz(streams, out: bytearray, window_base: int) -> None:
+def _decode_block_liz(streams, out: bytearray, window_base: int,
+                      stop_at: int | None = None) -> None:
     """Token loop for the LIZv1 family (lib/lizard_decompress_liz.h).
 
     last_off is reset at every inner-block boundary
-    (lib/lizard_decompress.c:233)."""
+    (lib/lizard_decompress.c:233). stop_at: early-exit once len(out)
+    reaches it (Lizard_decompress_safe_partial semantics)."""
     flags, lit = streams["flags"], streams["literals"]
     off16, off24 = streams["off16"], streams["off24"]
     iend = lit.end
     last_off = 0  # stored positive here; reference stores negative
 
     while flags.pos < flags.end:
+        if stop_at is not None and len(out) >= stop_at:
+            return
         token = flags.data[flags.pos]
         flags.pos += 1
 
@@ -236,7 +245,8 @@ def _read_stream(src: bytes, ip: int, flag: int, huf_decode) -> tuple[_Stream, i
 
 
 def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
-               out: bytearray | None = None, window_base: int | None = None) -> bytes:
+               out: bytearray | None = None, window_base: int | None = None,
+               stop_at: int | None = None) -> bytes:
     """Decode a full Lizard compressed stream (the `Lizard_decompress_safe`
     container: 1 level byte + blocks). Returns the decompressed bytes.
 
@@ -244,6 +254,10 @@ def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
     raise CorruptError). Pass `out` (existing decoded prefix) for
     linked-blocks streaming: matches may reach back into it
     (Lizard_decompress_safe_usingDict semantics, lizard_decompress.c:354-365).
+    stop_at stops decoding once that many NEW bytes exist, possibly
+    mid-token-loop (Lizard_decompress_safe_partial): remaining input is not
+    parsed, so corruption past the target goes unreported, exactly like the
+    reference's early return.
     """
     if len(src) < 1:
         raise CorruptError("empty input")
@@ -271,6 +285,8 @@ def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
                 raise CorruptError("uncompressed block truncated")
             out += src[ip:ip + n]
             ip += n
+            if stop_at is not None and len(out) - prefix >= stop_at:
+                break
             continue
         if header & FLAG_LEN:
             raise CorruptError("FLAG_LEN set (reference rejects)")
@@ -286,11 +302,14 @@ def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
         if ip > iend:
             raise CorruptError("streams exceed input")
 
+        stop_abs = None if stop_at is None else prefix + stop_at
         if params.codewords == Codewords.LZ4:
-            _decode_block_lz4(streams, out, window_base)
+            _decode_block_lz4(streams, out, window_base, stop_abs)
         else:
-            _decode_block_liz(streams, out, window_base)
+            _decode_block_liz(streams, out, window_base, stop_abs)
 
+        if stop_at is not None and len(out) - prefix >= stop_at:
+            break
         if max_out is not None and len(out) - prefix > max_out:
             raise CorruptError("output exceeds max_out")
 

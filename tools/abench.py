@@ -81,8 +81,16 @@ def main():
         prepare_lane_batch, unpack_lane_output)
     from lizard_tpu.ops.split import split_streams
 
-    data = build_corpus(CORPUS_MB << 20)
-    streams = compress_blocks(data, LEVEL)
+    import pickle
+    cache = f"/tmp/lz_bench_cache_{CORPUS_MB}_{LEVEL}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            data, streams = pickle.load(f)
+    else:
+        data = build_corpus(CORPUS_MB << 20)
+        streams = compress_blocks(data, LEVEL)
+        with open(cache, "wb") as f:
+            pickle.dump((data, streams), f)
     csize = sum(map(len, streams))
     ratio = csize / len(data)
 
