@@ -12,12 +12,17 @@ Supported surface:
   --no-frame-crc      disable content checksum
   --content-size      store uncompressed size in frame header
   -m                  multiple input files
+  -r                  recurse directories (implies -m)
+  --rm                remove source file(s) after successful operation
+  --no-sparse         disable the sparse file writer
   -v / -q             verbosity up / down
   -b# [-e#] [-i#]     in-memory benchmark of level(s) on the input files
   argv0 `lizardcat` => decompress to stdout; `unlizard` => decompress
 
 Decompress auto-detects legacy pass-through and skippable frames; `.liz` is
-the default suffix.
+the default suffix. Files stream through in 64 KB chunks in bounded memory
+(lizardio.c:647-698); decompressed zero runs become holes via the sparse
+writer (lizardio.c:533-604) unless --no-sparse.
 """
 
 import os
@@ -25,7 +30,7 @@ import sys
 import time
 
 from lizard_tpu.format.constants import LIZARD_DEFAULT_CLEVEL
-from lizard_tpu.frame import FrameDecoder, compress_frame
+from lizard_tpu.frame import FrameDecoder
 from lizard_tpu.utils.xxh import xxh64
 
 LIZARD_EXTENSION = ".liz"
@@ -42,6 +47,9 @@ class Options:
         self.overwrite = False
         self.stdout = False
         self.multiple = False
+        self.recursive = False
+        self.remove_src = False
+        self.sparse = True
         self.verbosity = 2
         self.bench_level_end = 0
         self.bench_iters = 3
@@ -71,6 +79,10 @@ def parse_args(argv, prog="lizard"):
             opts.frame_crc = False
         elif arg == "--content-size":
             opts.content_size = True
+        elif arg == "--rm":
+            opts.remove_src = True
+        elif arg == "--no-sparse":
+            opts.sparse = False
         elif arg == "--help" or arg == "-h":
             print(__doc__)
             sys.exit(0)
@@ -100,6 +112,9 @@ def parse_args(argv, prog="lizard"):
                 elif c == "k":
                     pass
                 elif c == "m":
+                    opts.multiple = True
+                elif c == "r":
+                    opts.recursive = True
                     opts.multiple = True
                 elif c == "v":
                     opts.verbosity += 1
@@ -155,22 +170,6 @@ def parse_args(argv, prog="lizard"):
     return opts
 
 
-def _compress_backend(opts, data):
-    level = (opts.level if opts.level >= 10 else 10 * opts.level
-             if opts.level else LIZARD_DEFAULT_CLEVEL)
-    if opts.backend == "native" and not opts.block_linked:
-        from lizard_tpu.frame import compress_frame_fast
-        return compress_frame_fast(
-            data, level=level, block_size_id=opts.block_size_id,
-            content_checksum=opts.frame_crc, content_size=opts.content_size)
-    return compress_frame(
-        data, level=level,
-        block_size_id=opts.block_size_id,
-        block_linked=opts.block_linked,
-        content_checksum=opts.frame_crc,
-        content_size=opts.content_size)
-
-
 def _decompress_backend(opts, data):
     if opts.backend == "native":
         from lizard_tpu import runtime
@@ -197,64 +196,201 @@ def _decompress_backend(opts, data):
     return out
 
 
+IO_CHUNK = 64 * 1024         # lizardio.c:647 (64 KB read granularity)
+SPARSE_SEG = 32 * 1024       # sparse-detection granularity (lizardio.c:540)
+
+
+class _SparseWriter:
+    """Sparse-file writer (lizardio.c:533-604 role): zero segments become
+    seeks (filesystem holes); close() materializes the final size when the
+    output ends in zeros."""
+
+    def __init__(self, f, enabled: bool):
+        self.f = f
+        self.enabled = enabled and f.seekable()
+        self.pending = 0
+
+    def write(self, buf: bytes) -> None:
+        if not self.enabled:
+            self.f.write(buf)
+            return
+        for i in range(0, len(buf), SPARSE_SEG):
+            seg = buf[i:i + SPARSE_SEG]
+            if seg.count(0) == len(seg):
+                self.pending += len(seg)
+            else:
+                if self.pending:
+                    self.f.seek(self.pending, 1)
+                    self.pending = 0
+                self.f.write(seg)
+
+    def close(self) -> None:
+        if self.pending:
+            self.f.seek(self.pending - 1, 1)
+            self.f.write(b"\0")
+            self.pending = 0
+
+
+def _open_dst(opts, dst_path):
+    if opts.stdout or dst_path == "-":
+        return sys.stdout.buffer, False
+    if os.path.exists(dst_path) and not opts.overwrite:
+        raise SystemExit(f"lizard: {dst_path} already exists; use -f")
+    return open(dst_path, "wb"), True
+
+
+def _finish_file(opts, src_path, dst_path, close_dst):
+    if close_dst and src_path != "-":
+        st = os.stat(src_path)
+        os.utime(dst_path, (st.st_atime, st.st_mtime))
+    if opts.remove_src and src_path != "-" and not opts.stdout:
+        os.unlink(src_path)
+
+
 def _do_file_compress(opts, src_path):
     dst_path = opts.output or (src_path + LIZARD_EXTENSION)
-    data = sys.stdin.buffer.read() if src_path == "-" else open(src_path, "rb").read()
+    level = (opts.level if opts.level >= 10 else 10 * opts.level
+             if opts.level else LIZARD_DEFAULT_CLEVEL)
+    src = sys.stdin.buffer if src_path == "-" else open(src_path, "rb")
+    content_size = None
+    if opts.content_size:
+        if src_path == "-":
+            raise SystemExit("lizard: --content-size needs a seekable input")
+        content_size = os.stat(src_path).st_size
+
+    from lizard_tpu.frame import FrameEncoder
+    backend = "native" if (opts.backend == "native"
+                           and not opts.block_linked) else "ref"
+    enc = FrameEncoder(level=level, block_size_id=opts.block_size_id,
+                       block_linked=opts.block_linked,
+                       content_checksum=opts.frame_crc,
+                       content_size=content_size, backend=backend)
+    dst, close_dst = _open_dst(opts, dst_path)
     t0 = time.time()
-    frame = _compress_backend(opts, data)
-    dt = time.time() - t0
-    if opts.stdout or dst_path == "-":
-        sys.stdout.buffer.write(frame)
-    else:
-        if os.path.exists(dst_path) and not opts.overwrite:
-            raise SystemExit(f"lizard: {dst_path} already exists; use -f")
-        with open(dst_path, "wb") as f:
-            f.write(frame)
+    n_in = n_out = 0
+    try:
+        buf = enc.begin()
+        dst.write(buf)
+        n_out += len(buf)
+        while True:
+            chunk = src.read(IO_CHUNK)
+            if not chunk:
+                break
+            n_in += len(chunk)
+            buf = enc.update(chunk)
+            dst.write(buf)
+            n_out += len(buf)
+        buf = enc.end()
+        dst.write(buf)
+        n_out += len(buf)
+    finally:
         if src_path != "-":
-            st = os.stat(src_path)
-            os.utime(dst_path, (st.st_atime, st.st_mtime))
-    ratio = 100.0 * len(frame) / len(data) if data else 0.0
-    _log(opts, 2, f"Compressed {len(data)} bytes into {len(frame)} bytes "
+            src.close()
+        if close_dst:
+            dst.close()
+    _finish_file(opts, src_path, dst_path, close_dst)
+    dt = time.time() - t0
+    ratio = 100.0 * n_out / n_in if n_in else 0.0
+    _log(opts, 2, f"Compressed {n_in} bytes into {n_out} bytes "
                   f"==> {ratio:.2f}% ({dt:.2f}s)")
 
 
 def _do_file_decompress(opts, src_path, test_only=False):
     if src_path == "-":
-        data = sys.stdin.buffer.read()
+        src = sys.stdin.buffer
         dst_path = opts.output or "-"
     else:
-        data = open(src_path, "rb").read()
+        src = open(src_path, "rb")
         if opts.output:
             dst_path = opts.output
         elif src_path.endswith(LIZARD_EXTENSION):
             dst_path = src_path[:-len(LIZARD_EXTENSION)]
         else:
             dst_path = src_path + ".out"
+
     # Magic dispatch (lizardio.c:743-788): unrecognized leading magic is
     # passed through unchanged when -f and not test mode, else rejected.
     from lizard_tpu.frame import LIZARDF_MAGIC, LIZARDF_MAGIC_SKIPPABLE_START
-    magic = int.from_bytes(data[0:4], "little") if len(data) >= 4 else -1
-    if data and magic != LIZARDF_MAGIC and \
-            (magic & 0xFFFFFFF0) != LIZARDF_MAGIC_SKIPPABLE_START:
-        if test_only or not opts.overwrite:
-            raise SystemExit(
-                f"lizard: {src_path}: unrecognized header, file cannot be "
-                f"decoded (use -df to pass through unknown formats)")
+    head = src.read(4)
+    magic = int.from_bytes(head, "little") if len(head) == 4 else -1
+    passthrough = head and (
+        magic != LIZARDF_MAGIC
+        and (magic & 0xFFFFFFF0) != LIZARDF_MAGIC_SKIPPABLE_START)
+    if passthrough and (test_only or not opts.overwrite):
+        if src_path != "-":
+            src.close()
+        raise SystemExit(
+            f"lizard: {src_path}: unrecognized header, file cannot be "
+            f"decoded (use -df to pass through unknown formats)")
+    if passthrough:
         _log(opts, 3, f"{src_path}: unknown format, passing through")
-        out = data
-    else:
+
+    # backend "native": whole-buffer fast path (C++ frame decoder)
+    if not passthrough and not test_only and opts.backend == "native":
+        from lizard_tpu import runtime
+        if runtime.available():
+            data = head + src.read()
+            if src_path != "-":
+                src.close()
+            try:
+                from lizard_tpu.frame import decoded_size_bound
+                out = runtime.decompress_frame(
+                    data, max_out=decoded_size_bound(data))
+            except Exception:
+                out = _decompress_backend(opts, data)
+            dst, close_dst = _open_dst(opts, dst_path)
+            dst.write(out)
+            if close_dst:
+                dst.close()
+            _finish_file(opts, src_path, dst_path, close_dst)
+            _log(opts, 2, f"Decompressed {len(out)} bytes from {src_path}")
+            return
+    if not passthrough and not test_only and opts.backend in ("lanes", "jax"):
+        data = head + src.read()
+        if src_path != "-":
+            src.close()
         out = _decompress_backend(opts, data)
-    if test_only:
-        _log(opts, 2, f"{src_path}: decoded {len(out)} bytes")
+        dst, close_dst = _open_dst(opts, dst_path)
+        dst.write(out)
+        if close_dst:
+            dst.close()
+        _finish_file(opts, src_path, dst_path, close_dst)
+        _log(opts, 2, f"Decompressed {len(out)} bytes from {src_path}")
         return
-    if opts.stdout or dst_path == "-":
-        sys.stdout.buffer.write(out)
-    else:
-        if os.path.exists(dst_path) and not opts.overwrite:
-            raise SystemExit(f"lizard: {dst_path} already exists; use -f")
-        with open(dst_path, "wb") as f:
-            f.write(out)
-    _log(opts, 2, f"Decompressed {len(out)} bytes from {src_path}")
+
+    # default: 64 KB chunked loop in bounded memory (lizardio.c:647-698)
+    dec = None if passthrough else FrameDecoder()
+    dst = writer = close_dst = None
+    if not test_only:
+        dst, close_dst = _open_dst(opts, dst_path)
+        writer = _SparseWriter(dst, opts.sparse and close_dst)
+    n_out = 0
+    got_any = bool(head)
+    try:
+        chunk = head
+        while chunk:
+            if passthrough:
+                out = chunk
+            else:
+                out = dec.update(chunk)
+            n_out += len(out)
+            if writer is not None and out:
+                writer.write(out)
+            chunk = src.read(IO_CHUNK)
+        if dec is not None and (len(dec.buf) or (not dec.finished and got_any)):
+            raise ValueError("truncated frame: unfinished stream")
+    finally:
+        if src_path != "-":
+            src.close()
+        if writer is not None:
+            writer.close()
+        if close_dst:
+            dst.close()
+    if test_only:
+        _log(opts, 2, f"{src_path}: decoded {n_out} bytes")
+        return
+    _finish_file(opts, src_path, dst_path, close_dst)
+    _log(opts, 2, f"Decompressed {n_out} bytes from {src_path}")
 
 
 def _do_bench(opts):
@@ -294,6 +430,16 @@ def main(argv=None, prog=None):
         return 0
 
     inputs = opts.inputs or ["-"]
+    if opts.recursive:
+        expanded = []
+        for p in inputs:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    expanded.extend(os.path.join(root, f)
+                                    for f in sorted(files))
+            else:
+                expanded.append(p)
+        inputs = expanded
     for src in inputs:
         if opts.mode == "compress":
             _do_file_compress(opts, src)

@@ -16,6 +16,7 @@ Decode is an incremental state machine accepting any input granularity
 """
 
 from lizard_tpu.format.constants import (
+    LIZARD_DICT_SIZE,
     LIZARDF_BLOCK_SIZES,
     LIZARDF_BLOCKUNCOMPRESSED_FLAG,
     LIZARDF_MAGIC,
@@ -281,6 +282,126 @@ def compress_frame_fast(data: bytes, level: int = 11,
     return bytes(out)
 
 
+class FrameEncoder:
+    """Incremental frame compression: LizardF_compressBegin / Update /
+    Flush / End (lizard_frame.c:501-629). Accepts arbitrary-granularity
+    input; partial blocks buffer internally (the reference's tmpIn) until a
+    full frame block accumulates or flush() forces one out. Linked mode
+    keeps the LZ77 window chained across blocks in bounded memory (the
+    dict-save machinery of lizard_tpu.streaming). Memory stays O(window +
+    block), so files far larger than RAM stream through (the reference's
+    6 GB huge-file test, tests/Makefile:229-232, relies on this).
+
+    backend="native" routes blockIndependent blocks through the fast C++
+    encoder; "ref" uses the bit-exact oracle. blockIndependent ref frames
+    are byte-identical to one-shot compress_frame with the same prefs;
+    linked frames are equivalent-but-not-identical once the window trims
+    (the rebase drops far match candidates the contiguous one-shot path
+    still sees)."""
+
+    def __init__(self, level: int = 17, block_size_id: int = 0,
+                 block_linked: bool = False, content_checksum: bool = True,
+                 content_size: int | None = None, backend: str = "ref"):
+        self.level = validate_level(level)
+        self.params = LEVELS[self.level]
+        if block_size_id == 0:
+            block_size_id = 1  # LIZARDF_BLOCKSIZEID_DEFAULT
+        self.block_size_id = block_size_id
+        self.block_size = LIZARDF_BLOCK_SIZES[block_size_id]
+        self.block_linked = block_linked
+        self.content_checksum = content_checksum
+        self.content_size = content_size
+        self.backend = backend
+        self.tmp = bytearray()      # partial-block buffer (tmpIn)
+        self.total_in = 0
+        self.xxh = XXH32(0) if content_checksum else None
+        self._begun = False
+        self._ended = False
+        if block_linked:
+            from lizard_tpu.streaming import CompressStream
+            self._cs = CompressStream(self.level)
+        else:
+            self._tables = Tables(self.params)
+
+    def begin(self) -> bytes:
+        """Frame header bytes (LizardF_compressBegin)."""
+        assert not self._begun
+        self._begun = True
+        out = bytearray()
+        out += LIZARDF_MAGIC.to_bytes(4, "little")
+        flg = (1 << 6) | ((0 if self.block_linked else 1) << 5) \
+            | (int(self.content_checksum) << 2) \
+            | ((1 if self.content_size is not None else 0) << 3)
+        header = bytearray([flg, (self.block_size_id & 7) << 4])
+        if self.content_size is not None:
+            header += self.content_size.to_bytes(8, "little")
+        header.append((xxh32(bytes(header)) >> 8) & 0xFF)
+        out += header
+        return bytes(out)
+
+    def _emit_block(self, part: bytes) -> bytes:
+        if self.block_linked:
+            comp = self._cs.compress_continue(part)
+        elif self.backend == "native":
+            from lizard_tpu import runtime
+            comp = runtime.compress(part, self.level)
+        else:
+            # extState per block: fresh ctx/window, tables NOT cleared
+            ctx = Ctx(self.level, self.params)
+            self._tables.next_to_update = 1 << 24  # Lizard_init
+            comp = compress_range(ctx, self._tables, part, 0, len(part))
+        out = bytearray()
+        if len(comp) <= len(part) - 1:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:
+            out += (len(part) | LIZARDF_BLOCKUNCOMPRESSED_FLAG).to_bytes(
+                4, "little")
+            out += part
+        return bytes(out)
+
+    def update(self, chunk: bytes) -> bytes:
+        """Feed input; returns any compressed bytes produced
+        (LizardF_compressUpdate: only whole blocks are emitted)."""
+        if not self._begun or self._ended:
+            raise FrameError("update outside begin/end")
+        self.total_in += len(chunk)
+        if self.xxh is not None:
+            self.xxh.update(chunk)
+        self.tmp += chunk
+        out = bytearray()
+        while len(self.tmp) >= self.block_size:
+            part = bytes(self.tmp[:self.block_size])
+            del self.tmp[:self.block_size]
+            out += self._emit_block(part)
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        """Force the buffered partial block out (LizardF_flush)."""
+        if not self.tmp:
+            return b""
+        part = bytes(self.tmp)
+        self.tmp.clear()
+        return self._emit_block(part)
+
+    def end(self) -> bytes:
+        """Flush + endmark + optional content checksum (LizardF_compressEnd).
+        Raises FrameError if a declared content_size was not matched."""
+        if self._ended:
+            raise FrameError("end called twice")
+        out = bytearray(self.flush())
+        self._ended = True
+        if (self.content_size is not None
+                and self.total_in != self.content_size):
+            raise FrameError(
+                f"content size mismatch: declared {self.content_size}, "
+                f"got {self.total_in}")
+        out += (0).to_bytes(4, "little")
+        if self.content_checksum:
+            out += self.xxh.digest().to_bytes(4, "little")
+        return bytes(out)
+
+
 def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
                            interpret: bool = False, **lane_kw) -> bytes:
     """Decode one frame on the TPU lane-parallel kernel
@@ -369,23 +490,44 @@ class FrameDecoder:
     def __init__(self, verify_checksum: bool = True):
         self.buf = bytearray()
         self.out = bytearray()
-        self.emitted = 0
+        self.emitted = 0          # index into self.out
+        self.trimmed = 0          # bytes dropped from the front of self.out
         self.verify = verify_checksum
         self.state = "header"
         self.info = None
         self.xxh = XXH32(0)
         self.skip_left = 0
         self.finished = False
+        self._frame_produced = 0
 
     def update(self, chunk: bytes) -> bytes:
-        """Feed a chunk; returns newly decoded bytes."""
+        """Feed a chunk; returns newly decoded bytes. Memory stays bounded
+        for arbitrarily long frames (lizardio.c:647-698's 64 KB loop relies
+        on this): emitted output is dropped, keeping only the linked-mode
+        window (<= LIZARD_DICT_SIZE) when one is needed."""
         self.buf += chunk
         progress = True
         while progress:
             progress = self._step()
         new = bytes(self.out[self.emitted:])
         self.emitted = len(self.out)
+        self._trim()
         return new
+
+    def _trim(self) -> None:
+        logical_len = self.trimmed + len(self.out)
+        if (self.info is not None and self.info.block_linked
+                and not self.finished):
+            keep_from = max(self._frame_out_start,
+                            logical_len - LIZARD_DICT_SIZE)
+        else:
+            keep_from = logical_len
+        cut = min(keep_from, self.trimmed + self.emitted)
+        drop = cut - self.trimmed
+        if drop > 0:
+            del self.out[:drop]
+            self.trimmed = cut
+            self.emitted -= drop
 
     def _step(self) -> bool:
         buf = self.buf
@@ -412,7 +554,8 @@ class FrameDecoder:
             self.finished = False  # a new frame begins
             del buf[:self.info.header_size]
             self.xxh = XXH32(0)
-            self._frame_out_start = len(self.out)
+            self._frame_out_start = self.trimmed + len(self.out)
+            self._frame_produced = 0
             self.state = "blocksize"
             return True
         if self.state == "skip":
@@ -451,10 +594,12 @@ class FrameDecoder:
                 self.out += blob
             else:
                 prefix = len(self.out)
-                base = self._frame_out_start if self.info.block_linked else prefix
+                base = (max(self._frame_out_start - self.trimmed, 0)
+                        if self.info.block_linked else prefix)
                 block_decompress(blob, max_out=max_block, out=self.out,
                                  window_base=base)
                 produced = bytes(self.out[prefix:])
+            self._frame_produced += len(produced)
             if self.info.content_checksum:
                 self.xxh.update(produced)
             self.state = "blocksize"
@@ -474,5 +619,5 @@ class FrameDecoder:
 
     def _check_content_size(self):
         if self.info and self.info.content_size is not None:
-            if len(self.out) - self._frame_out_start != self.info.content_size:
+            if self._frame_produced != self.info.content_size:
                 raise FrameError("content size mismatch")
