@@ -10,20 +10,31 @@ Backends:
 from lizard_tpu.format.constants import LIZARD_DEFAULT_CLEVEL
 
 
-def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL, backend: str = "ref") -> bytes:
+def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL,
+             backend: str = "ref", max_out: int | None = None) -> bytes:
     """One-shot block-stream compression (Lizard_compress equivalent).
 
     backend="ref": bit-exact scalar encoder (byte-identical to liblizard,
     all 40 levels). backend="native": the fast C++ host encoder (all 40
     levels, both codeword families + Huff0 stage, valid-but-not-identical
-    streams, ~100-1000x faster)."""
+    streams, ~100-1000x faster).
+
+    max_out models the reference's maxDstSize budget
+    (lizard_compress.c:583-599, returns 0 when the output does not fit):
+    raises ValueError when the compressed stream exceeds it; a budget of
+    exactly len(result) succeeds."""
     if backend == "ref":
         from lizard_tpu.ref.block_encode import compress as _c
-        return _c(data, level)
-    if backend == "native":
+        out = _c(data, level)
+    elif backend == "native":
         from lizard_tpu import runtime as _rt
-        return _rt.compress(data, level)
-    raise NotImplementedError(backend)
+        out = _rt.compress(data, level, max_out=max_out)
+    else:
+        raise NotImplementedError(backend)
+    if max_out is not None and len(out) > max_out:
+        raise ValueError(
+            f"compressed size {len(out)} exceeds max_out {max_out}")
+    return out
 
 
 def decompress(data: bytes, max_out: int | None = None, backend: str = "ref") -> bytes:

@@ -118,7 +118,8 @@ def huf_decompress(src: bytes, dst_size: int) -> bytes:
     return dst.raw[:dst_size]
 
 
-def compress(data: bytes, level: int = 11, accel: int = 1) -> bytes:
+def compress(data: bytes, level: int = 11, accel: int = 1,
+             max_out: int | None = None) -> bytes:
     """Fast native block-stream compression, all levels 10..49: greedy
     match finder (fastLZ4 codewords for 10-19/30-39, LIZv1 with rep-offset
     for 20-29/40-49) with a native Huff0 entropy stage for levels >= 30
@@ -131,10 +132,16 @@ def compress(data: bytes, level: int = 11, accel: int = 1) -> bytes:
     lib = _load()
     if lib is None:
         from lizard_tpu.ref.block_encode import compress as py
-        return py(data, level)
-    cap = len(data) + len(data) // 2 + 4096
-    dst = ctypes.create_string_buffer(cap)
+        out = py(data, level)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("compressed size exceeds max_out")
+        return out
+    cap = (len(data) + len(data) // 2 + 4096 if max_out is None
+           else max_out)
+    dst = ctypes.create_string_buffer(max(cap, 1))
     r = lib.ltpu_compress(data, len(data), dst, cap, level, accel)
+    if r == -1:
+        raise ValueError("compressed size exceeds max_out")
     if r < 0:
         raise RuntimeError("native compression failed")
     return dst.raw[:r]

@@ -124,3 +124,117 @@ def test_budget_exact_compression(corpus):
             block = corpus[:n]
             comp = compress(block, level)
             assert len(comp) <= compress_bound(n)
+
+
+# --------------------------------------------------------------------------
+# budget-exact compression (tests/fuzzer.c:377-440) + canary overrun checks
+# --------------------------------------------------------------------------
+
+def test_budget_exact_compress():
+    """compress with max_out == exact size succeeds; max_out-1 fails
+    (Lizard_compress maxDstSize contract, lizard_compress.c:583-599)."""
+    from lizard_tpu.api import compress
+    from lizard_tpu.utils.datagen import gen
+    import pytest as _pytest
+    for level in (11, 21, 35, 41):
+        data = gen(60_000, level, proba=0.6)
+        exact = len(compress(data, level))
+        assert len(compress(data, level, max_out=exact)) == exact
+        with _pytest.raises(ValueError):
+            compress(data, level, max_out=exact - 1)
+
+
+def test_budget_exact_native_with_canary():
+    """The native encoder must never write past the declared capacity:
+    canary bytes after the budget stay intact on success AND failure."""
+    import ctypes
+    from lizard_tpu import runtime
+    from lizard_tpu.utils.datagen import gen
+    if not runtime.available():
+        import pytest as _pytest
+        _pytest.skip("native runtime not built")
+    lib = runtime._load()
+    data = gen(60_000, 3, proba=0.6)
+    for level in (11, 21, 41):
+        exact = len(runtime.compress(data, level))
+        for budget in (exact, exact - 1, exact // 2, 8):
+            buf = ctypes.create_string_buffer(budget + 16)
+            canary = b"\xAA" * 16
+            buf.raw  # materialize
+            ctypes.memmove(ctypes.byref(buf, budget), canary, 16)
+            r = lib.ltpu_compress(data, len(data), buf, budget, level, 1)
+            assert bytes(buf.raw[budget:budget + 16]) == canary, \
+                f"overrun at level {level} budget {budget}"
+            if budget >= exact:
+                assert r == exact
+            else:
+                assert r == -1
+
+
+def test_decode_budget_canary_native():
+    """Native decoder: dst capacity is a hard wall (fuzzer.c's overrun
+    class applied to decompression)."""
+    import ctypes
+    from lizard_tpu import runtime
+    from lizard_tpu.utils.datagen import gen
+    if not runtime.available():
+        import pytest as _pytest
+        _pytest.skip("native runtime not built")
+    lib = runtime._load()
+    data = gen(50_000, 9, proba=0.6)
+    comp = runtime.compress(data, 11)
+    for cap in (len(data), len(data) - 1, len(data) // 2, 1):
+        buf = ctypes.create_string_buffer(cap + 16)
+        ctypes.memmove(ctypes.byref(buf, cap), b"\xBB" * 16, 16)
+        r = lib.ltpu_decompress(comp, len(comp), buf, cap)
+        assert bytes(buf.raw[cap:cap + 16]) == b"\xBB" * 16, f"cap {cap}"
+        if cap >= len(data):
+            assert r == len(data)
+        else:
+            assert r < 0
+
+
+# --------------------------------------------------------------------------
+# randomized-prefs frame loop (tests/frametest.c:546-720)
+# --------------------------------------------------------------------------
+
+def test_frametest_randomized_prefs():
+    """Random preferences x random granularities through the incremental
+    encoder/decoder, every iteration round-trip checked."""
+    import random
+    from lizard_tpu.frame import FrameDecoder, FrameEncoder
+    from lizard_tpu.utils.datagen import gen
+
+    rnd = random.Random(0x1EAF)
+    base = gen(200_000, 5, proba=0.6)
+    for it in range(25):
+        level = rnd.choice((10, 11, 14, 17, 21, 25, 35, 41))
+        bsid = rnd.choice((1, 2, 3, 4))
+        linked = rnd.random() < 0.4
+        crc = rnd.random() < 0.7
+        size = rnd.randrange(0, len(base))
+        data = base[:size]
+        declare = rnd.random() < 0.3
+        enc = FrameEncoder(level=level, block_size_id=bsid,
+                           block_linked=linked, content_checksum=crc,
+                           content_size=size if declare else None)
+        frame = bytearray(enc.begin())
+        pos = 0
+        while pos < size:
+            n = rnd.randrange(1, 80_000)
+            frame += enc.update(data[pos:pos + n])
+            pos += n
+            if rnd.random() < 0.15:
+                frame += enc.flush()
+        frame += enc.end()
+
+        dec = FrameDecoder()
+        out = bytearray()
+        pos = 0
+        while pos < len(frame):
+            n = rnd.randrange(1, 60_000)
+            out += dec.update(bytes(frame[pos:pos + n]))
+            pos += n
+        assert bytes(out) == data, \
+            f"it={it} level={level} bsid={bsid} linked={linked}"
+        assert dec.finished
