@@ -14,9 +14,14 @@ in HBM and output left on device (the reference's RAM-to-RAM analogue).
 For Huffman levels (30-49) the entropy stage currently runs in the host
 splitter and is NOT in the timed region.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the reference's published single-core decode
-at the same level (BASELINE.md; level 10: 2.610 GB/s).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sweep",
+"encode_mbps"}. metric/value/vs_baseline are the headline level
+(BENCH_LEVEL, default 10) against the reference's published single-core
+decode (BASELINE.md; level 10: 2.610 GB/s). "sweep" records one decode
+GB/s entry per level across all four families on the same corpus
+(BENCH_SWEEP=0 to disable); "encode_mbps" records the native C++
+encoder's speed per family. Huffman levels (30-49) time only the LZ
+stage on-device; the entropy stage runs in the host splitter.
 """
 
 import json
@@ -30,6 +35,9 @@ BENCH_SECONDS = float(os.environ.get("BENCH_SECONDS", "3"))
 CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
 LEVEL = int(os.environ.get("BENCH_LEVEL", "10"))
 IL = int(os.environ.get("BENCH_IL", "4"))
+SWEEP = os.environ.get("BENCH_SWEEP", "1") != "0"
+SWEEP_LEVELS = (10, 12, 19, 21, 29, 35, 41, 49)
+ENCODE_LEVELS = (11, 21, 35, 41)
 # reference decompress MB/s per level on i5-4300U (BASELINE.md)
 BASELINE_DECODE_MBPS = {10: 2610, 12: 2458, 15: 2552, 19: 2497, 21: 1795,
                         23: 1778, 26: 1734, 29: 1634, 30: 909, 32: 1244,
@@ -71,8 +79,9 @@ def compress_blocks(data: bytes, level: int) -> list[bytes]:
     return [compress(c, level) for c in chunks]
 
 
-def main():
-    import jax
+def bench_decode_level(data, level, seconds):
+    """Fastest-of-N on-device decode of `data` at `level`; returns
+    (GB/s, ratio, iters, best_ms)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -81,11 +90,8 @@ def main():
         prepare_lane_batch, unpack_lane_output)
     from lizard_tpu.ops.split import split_streams
 
-    data = build_corpus(CORPUS_MB << 20)
-    streams = compress_blocks(data, LEVEL)
-    csize = sum(map(len, streams))
-    ratio = csize / len(data)
-
+    streams = compress_blocks(data, level)
+    ratio = sum(map(len, streams)) / len(data)
     batch = split_streams(streams)
     lane = prepare_lane_batch(batch)
     T = lane.C * SUPERS_PER_BLOCK
@@ -104,11 +110,11 @@ def main():
     blocks = unpack_lane_output(np.asarray(out), lane, T)
     assert b"".join(blocks) == data, "round-trip verification failed"
 
-    # fastest-of-N over >= BENCH_SECONDS (bench.c protocol)
+    # fastest-of-N over >= seconds (bench.c protocol)
     best = float("inf")
     t_total = 0.0
     iters = 0
-    while t_total < BENCH_SECONDS:
+    while t_total < seconds:
         t0 = time.perf_counter()
         out = run()
         out.block_until_ready()
@@ -116,18 +122,69 @@ def main():
         best = min(best, dt)
         t_total += dt
         iters += 1
+    return len(data) / best / 1e9, ratio, iters, best * 1e3
 
-    gbps = len(data) / best / 1e9
+
+def bench_encode(data):
+    """Native C++ encoder MB/s + ratio per family level."""
+    from lizard_tpu import runtime
+    if not runtime.available():
+        return {}
+    out = {}
+    for level in ENCODE_LEVELS:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            comp = runtime.compress(data, level)
+            best = min(best, time.perf_counter() - t0)
+        out[str(level)] = {"mbps": round(len(data) / best / 1e6, 1),
+                           "ratio": round(len(comp) / len(data), 4)}
+    return out
+
+
+def main():
+    import jax
+
+    data = build_corpus(CORPUS_MB << 20)
+
+    gbps, ratio, iters, best_ms = bench_decode_level(
+        data, LEVEL, BENCH_SECONDS)
     base = BASELINE_DECODE_MBPS.get(LEVEL, 2610) / 1000.0
-    print(json.dumps({
+    result = {
         "metric": f"decode_gbps_level{LEVEL}_1chip",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / base, 4),
-    }))
-    print(f"# corpus={len(data)} ratio={ratio:.4f} blocks={len(streams)} "
-          f"iters={iters} best={best*1e3:.2f}ms il={IL} "
+    }
+    print(f"# corpus={len(data)} ratio={ratio:.4f} iters={iters} "
+          f"best={best_ms:.2f}ms il={IL} "
           f"backend={jax.default_backend()}", file=sys.stderr)
+
+    if SWEEP:
+        sweep = {str(LEVEL): {"gbps": round(gbps, 4),
+                              "vs_baseline": round(gbps / base, 4),
+                              "ratio": round(ratio, 4)}}
+        for level in SWEEP_LEVELS:
+            if level == LEVEL:
+                continue
+            try:
+                g, r, it, ms = bench_decode_level(
+                    data, level, min(BENCH_SECONDS, 2.0))
+                b = BASELINE_DECODE_MBPS.get(level, 2610) / 1000.0
+                sweep[str(level)] = {"gbps": round(g, 4),
+                                     "vs_baseline": round(g / b, 4),
+                                     "ratio": round(r, 4)}
+                print(f"# L{level}: {g:.4f} GB/s best={ms:.2f}ms",
+                      file=sys.stderr)
+            except Exception as e:  # record, keep sweeping
+                sweep[str(level)] = {"error": str(e)[:120]}
+        result["sweep"] = sweep
+        try:
+            result["encode_mbps"] = bench_encode(data)
+        except Exception as e:
+            result["encode_mbps"] = {"error": str(e)[:120]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -20,16 +20,29 @@ from lizard_tpu.ops.split import finalize, new_accumulator, split_stream
 
 
 def make_sharded_decoder(mesh: Mesh, *, out_cap, max_steps, max_tokens_total,
-                         family_liz):
+                         family_liz, gather_lengths=False):
     """Build the jitted multi-chip decode step for fixed shard geometry.
     Arrays are [n_shards, ...]; each device decodes its shard locally
-    (pure data parallel; the final gather rides the output sharding)."""
+    (pure data parallel; the final gather rides the output sharding).
+
+    gather_lengths=True additionally ALL-GATHERS the per-block decoded
+    lengths across the mesh inside the step (SURVEY.md section 2.5's
+    block-size all-gather): every shard -- and on a multi-host pod, every
+    process -- then knows the global output offset of each block without a
+    host round-trip. The collective rides ICI on real hardware."""
+
+    out_specs = (P("dp"), P("dp")) + ((P(None), P(None))
+                                      if gather_lengths else ())
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("dp"),) * 10,
-        out_specs=(P("dp"), P("dp")),
+        out_specs=out_specs,
+        # the gathered-lengths outputs are replicated by construction
+        # (all_gather); skip the static varying-axes check that cannot
+        # see through the cumsum on the gathered value
+        check_vma=not gather_lengths,
     )
     def _sharded(flags, lit, off16, off24, flags_off, flags_len,
                  lit_off, lit_len, off16_off, off24_off):
@@ -44,7 +57,13 @@ def make_sharded_decoder(mesh: Mesh, *, out_cap, max_steps, max_tokens_total,
                 lit_len[0], max_steps)
         out, blk_len = resolve_output(ll, ml, off, lit_start, flags_len[0],
                                       lit[0], out_cap, max_tokens_total)
-        return out[None], blk_len[None]
+        if not gather_lengths:
+            return out[None], blk_len[None]
+        # [n_shards, bmax] lengths on every shard + exclusive global offsets
+        all_len = jax.lax.all_gather(blk_len, "dp")
+        flat = all_len.reshape(-1)
+        offs = (jnp.cumsum(flat) - flat).reshape(all_len.shape)
+        return out[None], blk_len[None], all_len, offs
 
     return jax.jit(_sharded)
 

@@ -8,8 +8,12 @@ import os
 
 # force CPU regardless of the ambient platform (this environment presets
 # JAX_PLATFORMS=axon, the TPU tunnel, via a sitecustomize that re-registers
-# the plugin; the env var alone does not stick -> use jax.config too)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# the plugin; the env var alone does not stick -> use jax.config too).
+# RUN_TPU_TESTS=1 keeps the ambient TPU so @pytest.mark.tpu hardware tests
+# (production-geometry parity sweeps) can run on the bench chip.
+_USE_TPU = os.environ.get("RUN_TPU_TESTS") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

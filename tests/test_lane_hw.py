@@ -1,0 +1,60 @@
+"""Production-geometry lane-kernel parity sweep on REAL TPU hardware.
+
+The interpret-mode suite (test_lane_decode.py) runs shrunken geometry
+(2 KB blocks, 5-tile rings); this file exercises the PRODUCTION kernel --
+128 KB blocks, 129/257-tile rings, il interleave -- across one stream set
+per level family and compares against the bit-exact oracle.
+
+Run with:  RUN_TPU_TESTS=1 python -m pytest tests/test_lane_hw.py -v
+Skipped automatically when no TPU is attached (CI/CPU runs).
+"""
+
+import os
+
+import pytest
+
+RUN = os.environ.get("RUN_TPU_TESTS") == "1"
+
+pytestmark = pytest.mark.tpu
+
+
+def _have_tpu():
+    if not RUN:
+        return False
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+@pytest.mark.parametrize("level", (10, 21, 35, 49))
+def test_production_geometry_parity(level):
+    """160 blocks x 128 KB (20 MB) per family at production geometry."""
+    from bench import build_corpus, compress_blocks
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+
+    data = build_corpus(160 * 131072)
+    streams = compress_blocks(data, level)
+    outs = decompress_lanes(streams)
+    got = b"".join(outs)
+    assert got == data, (
+        f"level {level}: first diff at "
+        f"{next((k for k in range(min(len(got), len(data))) if got[k] != data[k]), 'len')}")
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+def test_production_geometry_ragged():
+    """Uneven stream count/sizes (not a multiple of 128 slots; partial
+    final blocks) at production geometry."""
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    from lizard_tpu.ref.block_encode import compress
+    from lizard_tpu.utils.datagen import gen
+
+    datas = [gen(n, seed=n, proba=0.6)
+             for n in (131072, 131072, 70_000, 131072 * 2 + 999, 1, 500)]
+    streams = [compress(d, 10) for d in datas]
+    outs = decompress_lanes(streams)
+    for want, got in zip(datas, outs):
+        assert got == want
