@@ -870,103 +870,110 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 aux = (ll0, mls, is_short.astype(jnp.int32), u16, u24)
             ll_v = jnp.where(is_tok, ll_v, 0)
 
+            pre_s = _prefix_excl(adv_v)
+            pre_o = _prefix_excl(ll_v + ml_v)
             z = jnp.zeros((8, 128), jnp.int32)
-            fix = (ll_v, ml_v, adv_v, z, nonsimple.astype(jnp.int32),
+            fix = (pre_s, pre_o, ll_v, ml_v, adv_v, z, z,
                    jnp.full((8, 128), 999, jnp.int32), z, z)
-            # fix: ll_v ml_v adv_v en_v chg defer_at defer_lp2 defer_am
+            # fix: pre_s pre_o ll_v ml_v adv_v en_v done defer_at
+            #      defer_lp2 defer_am
             inv = (lit_p, lit_p0, Bq, nonsimple.astype(jnp.int32), flag,
                    aux, fb_p)
             carry9 = (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
                       lit_p, flag_p, fill)
             return fix, inv, carry9, (is_tok, is_tail, nv, blocked, Pb, cml)
 
-        NFIX = 8
+        NFIX = 10
 
-        def fix_wave_one(i, B, fix, inv):
-            """One fixpoint WAVE for group i: re-read every ext-length
-            token's extension bytes at the current position estimates and
-            update lengths/advances for all of them at once. Positions are
-            monotone under-estimates (extensions only add bytes), so each
-            wave settles at least the first unsettled ext token and the
-            loop converges in ~2-3 waves typically -- vs one token per
-            iteration for a serial scan. Deferral (ext/offset bytes beyond
-            the parse window) LATCHES: once a token's estimated position
-            exceeds the threshold, its true position does too."""
-            (ll_v, ml_v, adv_v, en_v, chg, defer_at, defer_lp2,
-             defer_am) = fix
+        def fix_body_one(i, B, fix, inv):
+            """Resolve the next unprocessed ext-length token of group i."""
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
             lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
-            pre_s = _prefix_excl(adv_v)
-            pre_o = _prefix_excl(ll_v + ml_v)
-            inb = (nonsimple != 0) & (Bq + pre_o < B + 512)
-            lp_s = lit_p + pre_s
+            pm = (nonsimple != 0) & (done == 0) & \
+                (Bq + pre_o < B + 512) & (lanes < defer_at)
+            sidx = jnp.broadcast_to(
+                jnp.min(jnp.where(pm, lanes, 999), axis=1, keepdims=True),
+                (8, 128))
+            hs = sidx < 999
+            s_eq = (lanes == sidx) & hs
+            s_gt = (lanes > sidx) & hs
+            lp_s = lit_p + _at_lane(pre_s, sidx)
+            flag_s = _at_lane(flag, sidx)
             if not liz:
-                ll0, ml0 = aux[0], aux[1]
-                exll = ll0 == 15
+                ll0_s, ml0v = aux[0], aux[1]
+                ll0s = _at_lane(ll0_s, sidx)
+                ml0s = _at_lane(ml0v, sidx)
+                exll_s = ll0s == 15
                 F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
                 ev, en = _ext_from(F)
-                ll_s = jnp.where(exll, ev + 15, ll0)
-                en_s = jnp.where(exll, en, 0)
+                ll_s = jnp.where(exll_s, ev + 15, ll0s)
+                en_s = jnp.where(exll_s, en, 0)
                 lp2 = lp_s + en_s + ll_s       # offset position
-                dfr = inb & (lanes <= defer_at) & \
-                    (lp2 > lit_p0 + DEFER_TH)
-                exml = (ml0 == 15) & jnp.logical_not(dfr)
+                dfr = hs & (lp2 > lit_p0 + DEFER_TH)
+                exml_s = (ml0s == 15) & jnp.logical_not(dfr)
                 M = _funnel4(pfront, i * NT_P, lp2 + 2 - fb_p, NT_P)
                 ev2, en2 = _ext_from(M)
-                ml_s = jnp.where(exml, ev2 + 15, ml0) + 4
-                nen_s = jnp.where(exml, en2, 0)
+                ml_s = jnp.where(exml_s, ev2 + 15, ml0s) + 4
+                nen_s = jnp.where(exml_s, en2, 0)
                 full_adv = en_s + ll_s + 2 + nen_s
-                am_s = ml0
+                base_adv = ll0s + 2
+                base_out = ll0s + ml0s + 4
+                am_s = ml0s
             else:
-                ll0, mls, is_short_i = aux[0], aux[1], aux[2]
-                short = is_short_i != 0
-                flag31 = flag == 31
-                exll = short & (ll0 == 7)
+                ll0_s, mls_v, is_short_i = aux[0], aux[1], aux[2]
+                ll0s = _at_lane(ll0_s, sidx)
+                mlss = _at_lane(mls_v, sidx)
+                short_s = _at_lane(is_short_i, sidx) != 0
+                flag31 = flag_s == 31
+                exll_s = short_s & (ll0s == 7)
                 F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
                 ev, en = _ext_from(F)
-                ll_s = jnp.where(exll, ev + 7, ll0)
-                en_s = jnp.where(exll, en, 0)
+                ll_s = jnp.where(exll_s, ev + 7, ll0s)
+                en_s = jnp.where(exll_s, en, 0)
                 lp2 = lp_s + en_s + ll_s       # short ml-ext position
-                dfr = inb & (lanes <= defer_at) & short & (mls == 15) & \
+                dfr = hs & short_s & (mlss == 15) & \
                     (lp2 > lit_p0 + DEFER_TH)
                 # ml ext: short at lp2, token 31 at lp_s (no literals)
-                mpos = jnp.where(short, lp2, lp_s)
+                mpos = jnp.where(short_s, lp2, lp_s)
                 M = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
                 ev2, en2 = _ext_from(M)
-                exml = (short & (mls == 15) &
-                        jnp.logical_not(dfr)) | flag31
-                ml_plain = jnp.where(short, mls, flag + 16)
+                exml_s = (short_s & (mlss == 15) &
+                          jnp.logical_not(dfr)) | flag31
+                ml_plain = jnp.where(short_s, mlss, flag_s + 16)
                 ml_s = jnp.where(
-                    exml,
+                    exml_s,
                     jnp.where(flag31, ev2 + 47, ev2 + 15), ml_plain)
-                nen_s = jnp.where(exml, en2, 0)
+                nen_s = jnp.where(exml_s, en2, 0)
                 full_adv = en_s + ll_s + nen_s
+                base_adv = ll0s
+                base_out = ll0s + ml_plain
                 am_s = jnp.zeros((8, 128), jnp.int32)
 
-            n_defer_at = jnp.minimum(defer_at, jnp.broadcast_to(
-                jnp.min(jnp.where(dfr, lanes, 999), axis=1, keepdims=True),
-                (8, 128)))
-            dl = jnp.clip(n_defer_at, 0, 127)
-            n_defer_lp2 = jnp.take_along_axis(lp2, dl, axis=1)
-            n_defer_am = jnp.take_along_axis(am_s, dl, axis=1)
             ml_fin = jnp.where(dfr, 0, ml_s)
-            upd = inb & (lanes <= n_defer_at)
-            ll_n = jnp.where(upd, ll_s, ll_v)
-            ml_n = jnp.where(upd, ml_fin, ml_v)
-            adv_n = jnp.where(upd, full_adv, adv_v)
-            en_n = jnp.where(upd, en_s, en_v)
-            changed = ((ll_n != ll_v) | (ml_n != ml_v) | (adv_n != adv_v)
-                       | (n_defer_at != defer_at))
-            return (ll_n, ml_n, adv_n, en_n, changed.astype(jnp.int32),
-                    n_defer_at, n_defer_lp2, n_defer_am)
+            d_adv = full_adv - base_adv
+            d_out = (ll_s + ml_fin) - base_out
+            pre_s = pre_s + jnp.where(s_gt, d_adv, 0)
+            pre_o = pre_o + jnp.where(s_gt, d_out, 0)
+            ll_v = jnp.where(s_eq, ll_s, ll_v)
+            ml_v = jnp.where(s_eq, ml_fin, ml_v)
+            adv_v = jnp.where(s_eq, full_adv, adv_v)
+            en_v = jnp.where(s_eq, en_s, en_v)
+            done = jnp.where(s_eq, 1, done)
+            new_def = dfr & (sidx < defer_at)
+            defer_at = jnp.where(new_def, sidx, defer_at)
+            defer_lp2 = jnp.where(new_def, lp2, defer_lp2)
+            defer_am = jnp.where(new_def, am_s, defer_am)
+            return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+                    defer_lp2, defer_am)
 
         def scan_C(i, ctx, B, fix, inv, carry9, masks, encs):
             """Offsets, consumption boundary, carry update, enc placement
             for group i after the fixup loop."""
             (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
              fb_16, fb_24) = ctx
-            (ll_v, ml_v, adv_v, en_v, _chg, defer_at, defer_lp2,
-             defer_am) = fix
-            pre_s = _prefix_excl(adv_v)
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
             lit_p, lit_p0_, Bq, nonsimple, flag, aux, _ = inv
             (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src, lit_p_c,
              flag_p, fill) = carry9
@@ -1146,14 +1153,19 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             def f_cond(ff):
                 c = None
                 for i in range(il):
-                    v = jnp.any(ff[i * NFIX + 4] != 0)
+                    (pre_s, pre_o, _, _, _, _, done, defer_at, _, _) = \
+                        ff[i * NFIX:(i + 1) * NFIX]
+                    _, _, Bq, nonsimple, _, _, _ = invs[i]
+                    pm = (nonsimple != 0) & (done == 0) & \
+                        (Bq + pre_o < B + 512) & (lanes < defer_at)
+                    v = jnp.any(pm)
                     c = v if c is None else (c | v)
                 return c
 
             def f_body(ff):
                 out = []
                 for i in range(il):
-                    out.extend(fix_wave_one(
+                    out.extend(fix_body_one(
                         i, B, ff[i * NFIX:(i + 1) * NFIX], invs[i]))
                 return tuple(out)
 
