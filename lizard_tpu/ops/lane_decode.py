@@ -67,7 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 BAND = 512                   # bytes per slot per round (= one ring tile)
 RING_TILES = 129             # 129*512 = 66048 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
-NT_B = 16                    # parse BACKING window tiles (8 KB, DMA-refilled)
+NT_B = 8                     # parse BACKING window tiles (4 KB, DMA-refilled)
 NT_P = 4                     # parse FRONT window tiles (2 KB, vector-rebuilt)
 NT_CB = 8                    # carry backing tiles (4 KB)
 NT_C = 2                     # carry front tiles (1 KB)
@@ -76,7 +76,7 @@ NT_FF = 3                    # flags front tiles (1.5 KB, rebuilt per band;
                              # covers 512-token bands: 511 align + 512 + 128)
 NT_OB = 8                    # off16/off24 backing tiles (4 KB, LIZv1)
 NT_O = 2                     # off16/off24 front tiles (1 KB, LIZv1)
-LA_P = 5120                  # backing lookahead bytes per refill
+LA_P = 2560                  # backing lookahead bytes per refill
 LA_C = 2560
 LA_F = 1024
 LA_O = 2560
