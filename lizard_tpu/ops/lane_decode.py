@@ -698,11 +698,14 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     is_lit = enc >= 0
                     from_carry = is_lit & ((enc & CARRY_BIT) != 0)
                     pos = enc & POS_MASK
-                    lv_p = _byte_at(pfront, i * NT_P, pos - fb_p,
-                                    (1 << 30) - 1, NT_P)
-                    lv_c = _byte_at(cfront, i * NT_C, pos - fb_c,
-                                    (1 << 30) - 1, NT_C)
-                    lv = jnp.where(from_carry, lv_c, lv_p)
+                    if _ABL == "emitnolit":
+                        lv = pos
+                    else:
+                        lv_p = _byte_at(pfront, i * NT_P, pos - fb_p,
+                                        (1 << 30) - 1, NT_P)
+                        lv_c = _byte_at(cfront, i * NT_C, pos - fb_c,
+                                        (1 << 30) - 1, NT_C)
+                        lv = jnp.where(from_carry, lv_c, lv_p)
                     rpos = band_rp + enc
                     rbyte = (_shr(rws[i * 4 + j].astype(jnp.uint32),
                                   (rpos & 3) << 3) & 255).astype(jnp.int32)

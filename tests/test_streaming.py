@@ -143,3 +143,15 @@ def test_partial_decode_with_dict():
     comp = cs.compress_continue(payload)
     got = decompress_partial(comp, 5_000, 20_000, dict_data=dict_data)
     assert got == payload[:5_000]
+
+
+def test_profiling_stage_timers():
+    from lizard_tpu.utils import profiling
+    profiling.reset()
+    with profiling.stage("x"):
+        pass
+    with profiling.stage("x"):
+        pass
+    rep = profiling.report(reset=True)
+    assert "x" in rep and "n=2" in rep
+    assert profiling.report() == ""
