@@ -674,20 +674,24 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 return tuple(out)
 
             init = tuple(z for _ in range(il * 4))
-            if _ABL == "k0":
-                rws = init
+            NEAR = 4                    # tiles always walked (offsets are
+            if _ABL == "k0":            # mostly < 2 KB); far reaches take
+                rws = init              # the dynamic loop, usually 0 iters
             elif _ABL == "kstatic":
                 rws = init
                 for k in range(1, rtiles):
                     rws = chain(k, rws)
             else:
-                # 4 tiles per iteration: amortizes loop overhead; the
-                # overshoot iterations select nothing (t_un mismatch)
+                rws = init
+                for k in range(1, NEAR + 1):
+                    rws = chain(k, rws)
+                Kfar = jnp.maximum(K - NEAR, 0)
+
                 def chain4(q, rws):
                     for dk in range(4):
-                        rws = chain(1 + q * 4 + dk, rws)
+                        rws = chain(NEAR + 1 + q * 4 + dk, rws)
                     return rws
-                rws = jax.lax.fori_loop(0, (K + 3) >> 2, chain4, init)
+                rws = jax.lax.fori_loop(0, (Kfar + 3) >> 2, chain4, rws)
 
             tiles = []
             for i in range(il):
