@@ -1,0 +1,536 @@
+"""Lane-packed Huff0 decoder: 128 bitstreams per (8,128) tile.
+
+Second-generation TPU entropy decoder (the round-1 kernel in lane_huf.py
+amortizes its serial per-symbol chain over only 8 streams/op; this one
+packs 128). Two observations make it possible:
+
+1. CANONICAL ARITHMETIC DECODE -- the X1 table of huf_decompress.c is
+   rank-range structured: slots [bnd_w, bnd_{w+1}) of the 2048-entry
+   table all decode weight-class w, consume nb_w = tl+1-w bits, and map
+   to symbol index base_w + ((v - bnd_w) >> shift_w) in the canonical
+   symbol order. A lookup therefore needs NO table gather: 10 vector
+   compares classify v, one 2-plane in-lane gather fetches the class
+   parameters, and the symbol RANK (not the symbol) is emitted.
+   Per-stream state is a handful of broadcast planes instead of a
+   16-tile table.
+
+2. TWO-PHASE OUTPUT -- phase 1 writes rank bytes (order-preserving);
+   phase 2 translates rank -> symbol with the blob's 256-entry canonical
+   LUT in a separate vector pass where every (8,128) tile is blob-uniform
+   (output rows are 8-row aligned per stream). This moves the only
+   per-blob table dependency out of the serial loop.
+
+Layout: stream cell (r, g) lives at sublane r, lane group g (8 lanes
+each): every vector op advances 128 streams. Windows are 8 words per
+stream held in the stream's own lanes (in-group lane gathers only --
+axis-0 gathers are NOT native, tools/probe_transpose.py); backing is 4
+row-parity tiles per lane group, refilled per super by a scalar DMA loop
+fed from vector-packed counts (the lane_decode.py refill pattern).
+
+Bit semantics mirror ref/huf.py exactly (streams byte-REVERSED on the
+host so backward bit consumption is a forward byte pointer, as in
+lane_huf.py). Cites: lib/entropy/huf_decompress.c:111-198 (X1 table +
+4-stream layout), huf_read_stats/huf_build_dtable (ref/huf.py:211-281).
+"""
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TL = 11                    # uniform lookup width (tables expanded on host)
+NPAR = 4                   # backing row-parity tiles per lane group
+CHUNK = 16                 # symbols per window rebuild
+CPS = 32                   # chunks per super (one 512 B output row)
+NMETA = 15                 # vector-meta planes per group
+
+# vector meta plane indices
+M_POS, M_RLEN, M_OLEN = 0, 1, 2
+M_BND = 3                  # 10 planes: boundaries for classes 2..11
+M_PA = 13                  # pk_1..pk_8 at lanes g*8+0..7
+M_PB = 14                  # pk_9..pk_11 at lanes g*8+0..2
+
+
+def _lanes8():
+    return jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+
+def _shl(x, n):
+    return jax.lax.shift_left(x, n.astype(jnp.uint32))
+
+
+def _shr(x, n):
+    return jax.lax.shift_right_logical(x, n.astype(jnp.uint32))
+
+
+def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
+                   vmeta, back, oacc, trk, sems):
+    """meta_s (rows,128) SMEM, flat index cell*4+f: f=0 pool_row0,
+    1 n_rows, 2 out_row0, 3 n_supers. vmeta (groups*NMETA*8, 128) staged whole into VMEM.
+    back: parity tiles (il*16*NPAR*8, 128); oacc: output rows
+    (il*16*8, 128); trk SMEM (il*128, 1): highest pool row DMA'd."""
+    gi = pl.program_id(0)
+    g0 = gi * il
+    lanes = _lanes8()
+    lmod8 = lanes & 7
+    R = pool_hbm.shape[0]
+    shmt = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 4
+
+    # stage this instance's vmeta planes (one DMA; reused all supers)
+    cp = pltpu.make_async_copy(
+        vmeta_hbm.at[pl.ds(g0 * NMETA * 8, il * NMETA * 8)],
+        vmeta, sems.at[2])
+    cp.start()
+    cp.wait()
+
+    def vm(i, k):
+        return vmeta[(i * NMETA + k) * 8:(i * NMETA + k) * 8 + 8, :]
+
+    def super_body(sup, carry):
+        poss = carry[:il]
+        fills = carry[il:]
+
+        # ---- per-super backing refills: vector-decided, scalar-issued
+        new_fills = []
+        for i in range(il):
+            pos, fill = poss[i], fills[i]
+            rlen_m1 = vm(i, M_RLEN)
+            nrows_v = (rlen_m1 + 512) >> 9
+            ob_hi = jnp.maximum((pos - 1) >> 3, 0)
+            rb = jnp.maximum(rlen_m1 - ob_hi, 0)
+            want = jnp.minimum((rb >> 9) + 2, nrows_v - 1)
+            d = jnp.clip(want - fill, 0, 3)
+            new_fills.append(fill + d)
+            # pack per lane-group: 8 sublanes x 4 bits
+            pks = []
+            for g in range(16):
+                pks.append(jnp.sum(jnp.where(
+                    lanes == g * 8, jax.lax.shift_left(d, shmt), 0)))
+
+            def per_stream(sl, k, i=i, pks=pks):
+                g = sl >> 3
+                r = sl & 7
+                gsl = (((g0 + i) * 16 + g) * 8 + r) * 4
+                dq = 0
+                for gg in range(16):
+                    dq = jnp.where(g == gg, (pks[gg] >> (r * 4)) & 15, dq)
+                f0 = trk[sl + i * 128, 0]
+
+                def body(q, kk):
+                    p = q & (NPAR - 1)
+                    cp = pltpu.make_async_copy(
+                        pool_hbm.at[pl.ds(jnp.clip(
+                            meta_s[gsl >> 7, gsl & 127] + q, 0, R - 1),
+                            1)],
+                        back.at[pl.ds(
+                            ((i * 16 + g) * NPAR + p) * 8 + r, 1)],
+                        sems.at[0])
+                    cp.start()
+                    return kk + 1
+                k = jax.lax.fori_loop(f0 + 1, f0 + 1 + dq, body, k)
+                trk[sl + i * 128, 0] = f0 + dq
+                return k
+            n_dma = jax.lax.fori_loop(0, 128, per_stream, jnp.int32(0))
+
+            def wait_one(k, x):
+                pltpu.make_async_copy(
+                    pool_hbm.at[pl.ds(0, 1)], back.at[pl.ds(0, 1)],
+                    sems.at[0]).wait()
+                return x
+            jax.lax.fori_loop(0, n_dma, wait_one, 0)
+
+        def chunk_body(c, poss):
+            new_poss = []
+            for i in range(il):
+                pos = poss[i]
+                rlen_m1 = vm(i, M_RLEN)
+                out_len = vm(i, M_OLEN)
+                sym0 = sup * (CPS * CHUNK) + c * CHUNK
+
+                # ---- window rebuild: 8 words per stream in own lanes --
+                ob_hi = jnp.maximum((pos - 1) >> 3, 0)
+                rb0 = jnp.maximum(rlen_m1 - ob_hi, 0)
+                wb = rb0 >> 2                    # aligned base word (glob)
+                widx = wb + lmod8
+                wpar = (widx >> 7) & (NPAR - 1)
+                wword = widx & 127
+                wtile = jnp.zeros((8, 128), jnp.int32)
+                for g in range(16):
+                    row0 = ((i * 16 + g) * NPAR) * 8
+                    acc = jnp.zeros((8, 128), jnp.int32)
+                    for p in range(NPAR):
+                        t = back[row0 + p * 8:row0 + p * 8 + 8, :]
+                        gth = jnp.take_along_axis(t, wword, axis=1)
+                        acc = jnp.where(wpar == p, gth, acc)
+                    wtile = jnp.where((lanes >> 3) == g, acc, wtile)
+
+                # ---- CHUNK symbol steps ----
+                ranks = []
+                for _j in range(CHUNK):
+                    ob_hi = jnp.maximum((pos - 1) >> 3, 0)
+                    rb = jnp.maximum(rlen_m1 - ob_hi, 0)
+                    wo = jnp.clip((rb >> 2) - wb, 0, 6)
+                    ia = (lanes & ~7) + wo
+                    a = jnp.take_along_axis(wtile, ia, axis=1
+                                            ).astype(jnp.uint32)
+                    b = jnp.take_along_axis(wtile, ia + 1, axis=1
+                                            ).astype(jnp.uint32)
+                    sh = ((rb & 3) << 3)
+                    w32 = (_shr(a, sh) |
+                           jnp.where(sh == 0, jnp.uint32(0),
+                                     _shl(b, (32 - sh) & 31))
+                           ).astype(jnp.int32)
+                    v_big = (((w32 & 255) << 24) |
+                             (((w32 >> 8) & 255) << 16) |
+                             (((w32 >> 16) & 255) << 8) |
+                             ((w32 >> 24) & 255))
+                    sh2 = jnp.clip(pos - TL - (ob_hi - 3) * 8, 0, 21)
+                    v = (_shr(v_big.astype(jnp.uint32), sh2)
+                         & ((1 << TL) - 1)).astype(jnp.int32)
+                    nlow = jnp.clip(TL - pos, 0, TL)
+                    vmask = jnp.left_shift(jnp.full_like(v, -1), nlow)
+                    v = jnp.where(nlow > 0, v & vmask & ((1 << TL) - 1), v)
+                    v = jnp.where(pos <= 0, 0, v)
+
+                    wcls = jnp.full((8, 128), 1, jnp.int32)
+                    for k in range(10):
+                        wcls = wcls + (v >= vm(i, M_BND + k)
+                                       ).astype(jnp.int32)
+                    # packed class params (classes 1..8 in PA, 9..11 PB)
+                    base_l = lanes & ~7
+                    ga = jnp.take_along_axis(
+                        vm(i, M_PA), base_l + jnp.clip(wcls - 1, 0, 7),
+                        axis=1)
+                    gb = jnp.take_along_axis(
+                        vm(i, M_PB), base_l + jnp.clip(wcls - 9, 0, 7),
+                        axis=1)
+                    pk = jnp.where(wcls <= 8, ga, gb)
+                    nb = (pk >> 11) & 15
+                    shf = (pk >> 15) & 15
+                    rank = ((pk >> 19) & 255) + \
+                        _shr((v - (pk & 2047)).astype(jnp.uint32),
+                             shf).astype(jnp.int32)
+                    alive = (sym0 + _j < out_len) & (pos > 0)
+                    pos = jnp.where(alive, pos - nb, pos)
+                    ranks.append(jnp.where(alive, rank & 255, 0))
+
+                # ---- pack CHUNK ranks -> 4 words -> oacc[:, 4c:4c+4) --
+                ws = []
+                for k in range(4):
+                    ws.append(ranks[4 * k] |
+                              (ranks[4 * k + 1] << 8) |
+                              (ranks[4 * k + 2] << 16) |
+                              _shl(ranks[4 * k + 3].astype(jnp.uint32),
+                                   jnp.full((8, 128), 24, jnp.uint32)
+                                   ).astype(jnp.int32))
+                wall = ws[0]
+                l3 = lanes & 3
+                for k in range(1, 4):
+                    wall = jnp.where(l3 == k, ws[k], wall)
+                cmask = (lanes >> 2) == c
+                for g in range(16):
+                    val = jnp.take_along_axis(wall, (lanes & 3) + g * 8,
+                                              axis=1)
+                    row0 = (i * 16 + g) * 8
+                    cur = oacc[row0:row0 + 8, :]
+                    oacc[row0:row0 + 8, :] = jnp.where(cmask, val, cur)
+                new_poss.append(pos)
+            return tuple(new_poss)
+
+        poss = jax.lax.fori_loop(0, CPS, chunk_body, tuple(poss))
+
+        # ---- flush output rows: start all live DMAs, then drain ----
+        for i in range(il):
+            def start_one(sl, k, i=i):
+                g = sl >> 3
+                r = sl & 7
+                gsl = (((g0 + i) * 16 + g) * 8 + r) * 4
+                live = sup < meta_s[(gsl + 3) >> 7, (gsl + 3) & 127]
+
+                @pl.when(live)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        oacc.at[pl.ds((i * 16 + g) * 8 + r, 1)],
+                        out_hbm.at[pl.ds(
+                            meta_s[(gsl + 2) >> 7, (gsl + 2) & 127] + sup,
+                            1)],
+                        sems.at[1])
+                    cp.start()
+                return k + jnp.where(live, 1, 0)
+            n_fl = jax.lax.fori_loop(0, 128, start_one, jnp.int32(0))
+
+            def wait_fl(k, x, i=i):
+                pltpu.make_async_copy(
+                    oacc.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)],
+                    sems.at[1]).wait()
+                return x
+            jax.lax.fori_loop(0, n_fl, wait_fl, 0)
+        return tuple(poss) + tuple(new_fills)
+
+    def init_trk(sl, k):
+        trk[sl, 0] = jnp.int32(-1)
+        return k
+    jax.lax.fori_loop(0, il * 128, init_trk, 0)
+    carry = tuple(vm(i, M_POS) for i in range(il)) + \
+        tuple(jnp.full((8, 128), -1, jnp.int32) for _ in range(il))
+    jax.lax.fori_loop(0, T, super_body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "groups", "il",
+                                             "out_rows", "interpret"))
+def _huf128_call(meta_s, vmeta, pool, T, groups, il, out_rows,
+                 interpret=False):
+    kernel = functools.partial(_huf128_kernel, T, groups, il)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(groups // il,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((il * NMETA * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 16 * NPAR * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 16 * 8, 128), jnp.int32),
+            pltpu.SMEM((il * 128, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta_s, vmeta, pool)
+
+
+# phase 2: rank -> symbol translation, 64 rows (8 tiles) per grid step
+TR_ROWS = 64
+
+
+def _translate_kernel(meta_s, ranks, luts, out):
+    pid = pl.program_id(0)
+
+    for t in range(TR_ROWS // 8):
+        ti = pid * (TR_ROWS // 8) + t
+        lid = meta_s[ti >> 7, ti & 127]
+        lut = luts[pl.ds(lid * 8, 8), :]     # lane j: sym[j] | sym[j+128]<<8
+        tile = ranks[pl.ds(t * 8, 8), :]
+        res = jnp.zeros((8, 128), jnp.int32)
+        for byte in range(4):
+            rk = (tile >> (8 * byte)) & 255
+            g = jnp.take_along_axis(lut, rk & 127, axis=1)
+            sym = jnp.where(rk < 128, g & 255, (g >> 8) & 255)
+            res = res | (sym << (8 * byte))
+        out[pl.ds(t * 8, 8), :] = res
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _translate_call(meta_s, ranks, luts, interpret=False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ranks.shape[0] // TR_ROWS,),
+        in_specs=[
+            pl.BlockSpec((TR_ROWS, 128), lambda g, *_: (g, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR_ROWS, 128), lambda g, *_: (g, 0)),
+    )
+    return pl.pallas_call(
+        _translate_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(ranks.shape, jnp.int32),
+        interpret=interpret,
+    )(meta_s, ranks, luts)
+
+
+# ------------------------------------------------------------------ host
+
+@dataclass
+class Huf128Batch:
+    meta_s: np.ndarray       # (rows,128) i32, flat cell*4+f
+    vmeta: np.ndarray        # (groups*NMETA*8, 128) i32
+    pool: np.ndarray         # (R, 128) i32 byte-reversed streams
+    luts: np.ndarray         # (nblobs*8, 128) i32 sym | sym128<<8
+    tmeta: np.ndarray        # (rows,128) i32 LUT id per 8-row out tile
+    T: int
+    groups: int
+    out_rows: int
+    tasks: list
+
+
+def _class_params(weights, tl):
+    """Canonical class boundaries/params in TL-expanded slot space + the
+    canonical symbol order (same fill as huf_build_dtable)."""
+    rank_count = [0] * (TL + 2)
+    for w in weights:
+        rank_count[w] += 1
+    scale = TL - tl
+    bnd = [1 << TL] * (TL + 2)
+    start = 0
+    for w in range(1, tl + 1):
+        bnd[w] = start
+        start += (rank_count[w] << (w - 1)) << scale
+    syms = []
+    base = [0] * (TL + 2)
+    for w in range(1, tl + 1):
+        base[w] = len(syms)
+        for s, ww in enumerate(weights):
+            if ww == w:
+                syms.append(s)
+    pks = []
+    for w in range(1, TL + 1):
+        if w <= tl:
+            nb = tl + 1 - w
+            shift = w - 1 + scale
+            b = base[w]
+            sv = bnd[w]
+        else:
+            nb, shift, b, sv = 0, 0, 0, 0
+        pks.append((sv & 2047) | (nb << 11) | (shift << 15)
+                   | (min(b, 255) << 19))
+    bnds = [min(bnd[w], (1 << TL)) for w in range(2, TL + 1)]
+    return bnds, pks, syms
+
+
+def prepare_huf128(blobs, groups=8):
+    """blobs: [(blob_bytes, dst_size)] -> Huf128Batch. One stream per
+    cell; longest-first assignment; output rows 8-aligned per stream so
+    translate tiles are blob-uniform."""
+    from lizard_tpu.ref.huf import HufError, huf_read_stats
+    n_cells = groups * 128
+    tasks = [None] * len(blobs)
+    stream_list = []
+    luts = []
+    for bi, (blob, dst_size) in enumerate(blobs):
+        if len(blob) >= dst_size:
+            raise HufError("not a compressed huf blob")
+        if len(blob) == 1:
+            tasks[bi] = ("host", bytes([blob[0]]) * dst_size)
+            continue
+        weights, tl, hsize = huf_read_stats(blob)
+        if tl > TL:
+            raise HufError("tableLog > 11 unsupported on this path")
+        bnds, pks, syms = _class_params(weights, tl)
+        lut = np.zeros(256, np.int32)
+        lut[:len(syms)] = syms
+        lrow = np.broadcast_to(lut[:128] | (lut[128:] << 8),
+                               (8, 128)).astype(np.int32)
+        luts.append(lrow)
+        lid = len(luts) - 1
+        body = blob[hsize:]
+        l1 = body[0] | (body[1] << 8)
+        l2 = body[2] | (body[3] << 8)
+        l3 = body[4] | (body[5] << 8)
+        l4 = len(body) - 6 - l1 - l2 - l3
+        if l4 <= 0:
+            raise HufError("bad jump table")
+        seg = (dst_size + 3) // 4
+        sizes = [seg, seg, seg, dst_size - 3 * seg]
+        off = 6
+        tasks[bi] = []
+        for si, (ln, n_out) in enumerate(zip((l1, l2, l3, l4), sizes)):
+            sb = body[off:off + ln]
+            off += ln
+            if not sb or sb[-1] == 0:
+                raise HufError("missing end mark")
+            if n_out <= 0:
+                raise HufError("empty huf segment")
+            pos_init = (len(sb) - 1) * 8 + sb[-1].bit_length() - 1
+            stream_list.append((bi, si, sb[::-1], pos_init, n_out,
+                                bnds, pks, lid))
+    if len(stream_list) > n_cells:
+        raise HufError("too many huf streams for one batch; split")
+
+    order = sorted(range(len(stream_list)),
+                   key=lambda k: -stream_list[k][4])
+
+    meta_s = np.zeros((n_cells, 4), np.int32)
+    vmeta = np.zeros((groups, NMETA, 8, 128), np.int32)
+    segs = []
+    cursor = 0
+
+    def add_seg(arr):
+        nonlocal cursor
+        rows = max(1, (len(arr) + 511) // 512)
+        a = np.zeros(rows * 512, np.uint8)
+        a[:len(arr)] = np.frombuffer(bytes(arr), np.uint8)
+        segs.append(a)
+        r0 = cursor
+        cursor += rows
+        return r0, rows
+
+    out_cursor = 0
+    T = 1
+    tmeta_rows = []
+    for cell, k in enumerate(order):
+        bi, si, rev, pos_init, n_out, bnds, pks, lid = stream_list[k]
+        G = cell // 128
+        g = (cell % 128) // 8
+        r = (cell % 128) % 8
+        rr0, nrows = add_seg(rev)
+        n_sup = max((n_out + 511) >> 9, 1)
+        T = max(T, n_sup)
+        # 8-align each stream's output rows (translate tile uniformity)
+        out_cursor = (out_cursor + 7) & ~7
+        meta_s[cell] = (rr0, nrows, out_cursor, n_sup)
+        tasks[bi].append((si, out_cursor, n_out))
+        tmeta_rows.extend([lid] * ((n_sup + 7) >> 3))  # one per 8-row tile
+        out_cursor += n_sup
+
+        lanes8 = slice(g * 8, g * 8 + 8)
+        vmeta[G, M_POS, r, lanes8] = pos_init
+        vmeta[G, M_RLEN, r, lanes8] = len(rev) - 1
+        vmeta[G, M_OLEN, r, lanes8] = n_out
+        for kk in range(10):
+            vmeta[G, M_BND + kk, r, lanes8] = bnds[kk]
+        for kk in range(8):
+            vmeta[G, M_PA, r, g * 8 + kk] = pks[kk]
+        for kk in range(3):
+            vmeta[G, M_PB, r, g * 8 + kk] = pks[8 + kk]
+
+    out_cursor = (out_cursor + TR_ROWS - 1) & ~(TR_ROWS - 1)
+    while len(tmeta_rows) < out_cursor // 8:
+        tmeta_rows.append(0)
+    assert len(tmeta_rows) == out_cursor // 8
+
+    segs.append(np.zeros(512, np.uint8))
+    cursor += 1
+    pool = np.concatenate(segs).view(np.int32).reshape(cursor, 128)
+    luts_arr = (np.concatenate(luts, 0) if luts
+                else np.zeros((8, 128), np.int32))
+    tr = np.zeros(((len(tmeta_rows) + 127) // 128) * 128, np.int32)
+    tr[:len(tmeta_rows)] = tmeta_rows
+    tmeta = tr.reshape(-1, 128)
+    mflat = np.zeros(((n_cells * 4 + 127) // 128) * 128, np.int32)
+    mflat[:n_cells * 4] = meta_s.reshape(-1)
+    meta_s = mflat.reshape(-1, 128)
+    return Huf128Batch(meta_s=meta_s, vmeta=vmeta.reshape(-1, 128),
+                       pool=pool, luts=luts_arr, tmeta=tmeta,
+                       T=T, groups=groups, out_rows=out_cursor,
+                       tasks=tasks)
+
+
+def huf_decompress_128(blobs, groups=8, il=2, interpret=False):
+    """Decode a batch of Huff0 blobs [(blob, dst_size)] -> [bytes]."""
+    hb = prepare_huf128(blobs, groups=groups)
+    ranks = _huf128_call(jnp.asarray(hb.meta_s), jnp.asarray(hb.vmeta),
+                         jnp.asarray(hb.pool), T=hb.T, groups=hb.groups,
+                         il=il, out_rows=hb.out_rows, interpret=interpret)
+    syms = _translate_call(jnp.asarray(hb.tmeta), ranks,
+                           jnp.asarray(hb.luts), interpret=interpret)
+    flat = np.asarray(syms).astype(np.int32).tobytes()
+    results = []
+    for pb in hb.tasks:
+        if isinstance(pb, tuple):
+            results.append(pb[1])
+            continue
+        parts = []
+        for si, row0, n_out in sorted(pb):
+            parts.append(flat[row0 * 512: row0 * 512 + n_out])
+        results.append(b"".join(parts))
+    return results

@@ -1,0 +1,62 @@
+"""Lane-packed Huff0 decoder (ops/huf128.py) vs the bit-exact oracle,
+CPU interpret mode."""
+
+import numpy as np
+import pytest
+
+from lizard_tpu.ref.huf_encode import huf_compress
+from lizard_tpu.utils.datagen import gen, text_like
+
+
+def _blobs(specs):
+    """specs: list of (data). Returns ([(blob, dst)], [data])."""
+    blobs, datas = [], []
+    for d in specs:
+        c = huf_compress(d)
+        assert c is not None and len(c) > 1, "corpus must be compressible"
+        blobs.append((c, len(d)))
+        datas.append(d)
+    return blobs, datas
+
+
+def _check(specs, groups=1, il=1):
+    from lizard_tpu.ops.huf128 import huf_decompress_128
+    blobs, datas = _blobs(specs)
+    outs = huf_decompress_128(blobs, groups=groups, il=il, interpret=True)
+    for i, (got, want) in enumerate(zip(outs, datas)):
+        assert got == want, (
+            f"blob {i}: first diff at "
+            f"{next((k for k in range(min(len(got), len(want))) if got[k] != want[k]), 'len')} "
+            f"lens {len(got)}/{len(want)}")
+
+
+def test_single_blob():
+    _check([text_like(3000, 1)])
+
+
+def test_multiple_blobs_mixed():
+    _check([text_like(2000, 2), gen(1500, 3, proba=0.8),
+            text_like(4096, 4), bytes(range(13)) * 150])
+
+
+def test_sizes_odd():
+    _check([text_like(n, n) for n in (515, 1000, 2049, 700)])
+
+
+def test_rle_blob_host_path():
+    from lizard_tpu.ops.huf128 import huf_decompress_128
+    blobs, datas = _blobs([text_like(2000, 5)])
+    blobs.append((b"z", 100))
+    outs = huf_decompress_128(blobs, groups=1, il=1, interpret=True)
+    assert outs[0] == datas[0]
+    assert outs[1] == b"z" * 100
+
+
+def test_multi_row_streams():
+    # streams spanning several 512 B output rows + backing rows
+    _check([text_like(9000, 7), text_like(12000, 8)])
+
+
+def test_skewed_weights():
+    d = (b"a" * 4000 + b"b" * 300 + b"c" * 40 + bytes(range(64)))
+    _check([d])
