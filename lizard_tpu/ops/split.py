@@ -71,7 +71,7 @@ def _le24(b, i):
     return int(b[i]) | (int(b[i + 1]) << 8) | (int(b[i + 2]) << 16)
 
 
-def _read_stream(src, ip, flag):
+def _read_stream(src, ip, flag, hd=None):
     if not flag:
         if ip > len(src) - 3:
             raise CorruptError("stream header truncated")
@@ -86,13 +86,18 @@ def _read_stream(src, ip, flag):
     comp = _le24(src, ip + 3)
     if ip + 6 + comp > len(src):
         raise CorruptError("huf stream truncated")
-    data = huf_decompress(bytes(src[ip + 6:ip + 6 + comp]), orig)
+    blob = bytes(src[ip + 6:ip + 6 + comp])
+    if hd is not None:
+        return hd(blob, orig), ip + 6 + comp
+    data = huf_decompress(blob, orig)
     return np.frombuffer(data, dtype=np.uint8), ip + 6 + comp
 
 
-def split_stream(src: bytes, batch: dict, stream_id: int) -> Codewords:
+def split_stream(src: bytes, batch: dict, stream_id: int,
+                 hd=None) -> Codewords:
     """Split one compressed stream (level byte + inner blocks) into `batch`
-    accumulator lists. Returns the codeword family."""
+    accumulator lists. Returns the codeword family. `hd(blob, orig)`, when
+    given, handles Huffman-coded streams (deferred/TPU entropy decode)."""
     src = np.frombuffer(src, dtype=np.uint8)
     if len(src) < 1:
         raise CorruptError("empty stream")
@@ -121,10 +126,10 @@ def split_stream(src: bytes, batch: dict, stream_id: int) -> Codewords:
         if header & FLAG_LEN:
             raise CorruptError("FLAG_LEN set")
         lens, ip = _read_stream(src, ip, 0)
-        o16, ip = _read_stream(src, ip, header & FLAG_OFFSET16)
-        o24, ip = _read_stream(src, ip, header & FLAG_OFFSET24)
-        flags, ip = _read_stream(src, ip, header & FLAG_FLAGS)
-        lits, ip = _read_stream(src, ip, header & FLAG_LITERALS)
+        o16, ip = _read_stream(src, ip, header & FLAG_OFFSET16, hd)
+        o24, ip = _read_stream(src, ip, header & FLAG_OFFSET24, hd)
+        flags, ip = _read_stream(src, ip, header & FLAG_FLAGS, hd)
+        lits, ip = _read_stream(src, ip, header & FLAG_LITERALS, hd)
         _append(batch, stream_id, flags=flags, literals=lits, off16=o16, off24=o24)
     return family
 
@@ -165,14 +170,48 @@ def finalize(batch: dict, codewords: Codewords) -> BlockBatch:
     )
 
 
-def split_streams(streams: list[bytes]) -> BlockBatch:
-    """Split multiple independent compressed streams into one batch."""
+def split_streams(streams: list[bytes],
+                  entropy: str = "host") -> BlockBatch:
+    """Split multiple independent compressed streams into one batch.
+
+    entropy="tpu" defers every Huffman-coded stream and decodes them all
+    in batched lane-packed TPU kernel calls (ops/huf128.py) before
+    finalize; "host" decodes inline with the native C++ Huff0."""
     acc = new_accumulator()
     family = None
+    pend = []
+    hd = None
+    if entropy == "tpu":
+        def hd(blob, orig):
+            buf = np.zeros(orig, np.uint8)
+            pend.append((blob, orig, buf))
+            return buf
     for i, s in enumerate(streams):
-        f = split_stream(s, acc, i)
+        f = split_stream(s, acc, i, hd)
         if family is None:
             family = f
         elif family != f:
             raise CorruptError("mixed codeword families in one batch")
+    if pend:
+        decode_pending_tpu(pend)
     return finalize(acc, family or Codewords.LZ4)
+
+
+def decode_pending_tpu(pend, groups=8, il=8):
+    """Decode deferred huf blobs [(blob, orig, out_buf)] in <=256-blob
+    batches on the lane-packed TPU kernel; host fallback per batch on
+    unsupported tables (tableLog > 11)."""
+    from lizard_tpu.ops.huf128 import huf_decompress_128
+    cap = groups * 128 // 4
+    for b0 in range(0, len(pend), cap):
+        chunk = pend[b0:b0 + cap]
+        try:
+            outs = huf_decompress_128(
+                [(blob, orig) for blob, orig, _ in chunk],
+                groups=groups, il=il)
+            for (_, orig, buf), out in zip(chunk, outs):
+                buf[:] = np.frombuffer(out, np.uint8)
+        except Exception:
+            for blob, orig, buf in chunk:
+                buf[:] = np.frombuffer(huf_decompress(blob, orig),
+                                       np.uint8)
