@@ -118,21 +118,30 @@ def bench_decode_level(data, level, seconds):
     if pend:
         from lizard_tpu.ops.huf128 import (prepare_huf128, _huf128_call,
                                            _translate_call)
-        hb = prepare_huf128(pend, groups=8)
-        hm, hv, hp, hl, ht = map(jnp.asarray, (hb.meta_s, hb.vmeta,
-                                               hb.pool, hb.luts, hb.tmeta))
+        cap = 8 * 128 // 4          # blobs per kernel batch (4 streams ea)
+        batches = []
+        for b0 in range(0, len(pend), cap):
+            hb = prepare_huf128(pend[b0:b0 + cap], groups=8)
+            batches.append((hb, tuple(map(jnp.asarray,
+                                          (hb.meta_s, hb.vmeta, hb.pool,
+                                           hb.luts, hb.tmeta)))))
 
         def run_huf():
-            r = _huf128_call(hm, hv, hp, T=hb.T, groups=8, il=8,
-                             out_rows=hb.out_rows)
-            return _translate_call(ht, r, hl)
+            outs = []
+            for hb, (hm, hv, hp, hl, ht) in batches:
+                r = _huf128_call(hm, hv, hp, T=hb.T, groups=8, il=8,
+                                 out_rows=hb.out_rows)
+                outs.append(_translate_call(ht, r, hl))
+            return outs
 
-        run_huf().block_until_ready()
+        for o in run_huf():
+            o.block_until_ready()
         t_huf_best = float("inf")
         tt = 0.0
         while tt < seconds:
             t0 = time.perf_counter()
-            run_huf().block_until_ready()
+            for o in run_huf():
+                o.block_until_ready()
             dt = time.perf_counter() - t0
             t_huf_best = min(t_huf_best, dt)
             tt += dt

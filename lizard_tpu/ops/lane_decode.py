@@ -1531,11 +1531,23 @@ def unpack_lane_output(out: np.ndarray, lane: LaneBatch, T: int,
 
 def decompress_lanes(streams: list[bytes], interpret=False,
                      spb=SUPERS_PER_BLOCK, rtiles=None,
-                     groups=GROUPS, il=1) -> list[bytes]:
+                     groups=GROUPS, il=1, entropy=None) -> list[bytes]:
     """Decode independent compressed streams (either codeword family);
-    returns decoded bytes per stream."""
+    returns decoded bytes per stream. entropy="tpu" batches Huffman-coded
+    streams onto the lane-packed Huff0 kernel (ops/huf128.py); default is
+    the native host decoder ("host"), or "tpu" automatically when running
+    on a real TPU backend and not interpreting."""
     from lizard_tpu.ops.split import split_streams
-    batch = split_streams(streams)
+    if entropy is None:
+        entropy = "host"
+        if not interpret:
+            try:
+                import jax
+                if jax.default_backend() not in ("cpu",):
+                    entropy = "tpu"
+            except Exception:
+                pass
+    batch = split_streams(streams, entropy=entropy)
     blocks = decode_batch_lanes(batch, interpret=interpret, spb=spb,
                                 rtiles=rtiles, groups=groups, il=il)
     outs = []
