@@ -8,12 +8,12 @@ sublane row ("group"); the kernel grid runs one group at a time; every
 vector op advances 8 slots at once.
 
 The decode loop is OUTPUT-BAND SYNCHRONOUS: each round, every live slot
-emits exactly its next 512 output bytes (a "band" = one ring tile), so the
-output position is uniform across slots and every memory write is a static
-or uniform-dynamic store. Per round:
+emits exactly its next 1024 output bytes (a "band" = two ring tiles), so
+the output position is uniform across slots and every memory write is a
+static or uniform-dynamic store. Per round:
 
-1. a while-loop consumes tokens per slot and builds the band's per-byte
-   SOURCE ENCODING, four (8,128) planes covering positions [128j, 128j+128):
+1. a token scan consumes tokens per slot and builds the band's per-byte
+   SOURCE ENCODING, NP=8 (8,128) planes covering positions [128j, 128j+128):
      enc >= 0           literal byte at stream position (enc & POS_MASK);
                         bit CARRY_BIT selects which literal window serves it
      enc < 0            ring byte at band-relative source position enc
@@ -55,7 +55,6 @@ import os
 from dataclasses import dataclass
 
 _ABL = os.environ.get("LANE_ABL", "")  # temporary ablation hooks (perf work)
-_SCAN = os.environ.get("LANE_SCAN", "1") != "0"  # scan-parse band engine
 
 import jax
 import jax.numpy as jnp
@@ -64,25 +63,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------- geometry
-BAND = 512                   # bytes per slot per round (= one ring tile)
-RING_TILES = 129             # 129*512 = 66048 > 65535 (max offset) + BAND
+BAND = 512                   # bytes per slot per round (1 ring tile;
+                             # 1024 loses: >128 tokens/band forces a
+                             # continuation pass, see NOTES_ROUND2)
+NP = BAND // 128             # enc planes per band
+TPB = BAND // 512            # ring/output tiles per band
+SUP_TILES = max(2, TPB)      # 512-tiles per refill super (refills +
+                             # block-transition work amortize over 1 KB)
+SUP_BANDS = SUP_TILES // TPB  # bands per refill super
+RING_TILES = 130             # 130*512 = 66560 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
 NT_B = 8                     # parse BACKING window tiles (4 KB, DMA-refilled)
 NT_P = 4                     # parse FRONT window tiles (2 KB, vector-rebuilt)
 NT_CB = 8                    # carry backing tiles (4 KB)
-NT_C = 2                     # carry front tiles (1 KB)
+NT_C = 2                     # carry front tiles (1 KB: 511 align
+                             # + up to BAND carry bytes per band)
 NT_F = 4                     # flags backing tiles (2 KB)
-NT_FF = 3                    # flags front tiles (1.5 KB, rebuilt per band;
-                             # covers 512-token bands: 511 align + 512 + 128)
+NT_FF = 3                    # flags front tiles (1.5 KB, rebuilt per
+                             # band; covers rep-dense LIZv1 bands: 511
+                             # align + BAND 1-byte tokens + 128 lookahead)
 NT_OB = 8                    # off16/off24 backing tiles (4 KB, LIZv1)
 NT_O = 2                     # off16/off24 front tiles (1 KB, LIZv1)
 LA_P = 2560                  # backing lookahead bytes per refill
 LA_C = 2560
 LA_F = 1024
 LA_O = 2560
-LIZ_RING_TILES = 257         # 257*512 = 131584 > 128 KB frame-block reach
+LIZ_RING_TILES = 258         # 258*512 = 132096 > 128 KB reach + BAND
 DEFER_TH = 1500              # defer match fetch when lp2 > lit_p0 + DEFER_TH
-                             # (must be <= NT_P*512 - 512 - 24 for coverage)
+                             # (<= NT_P*512 - 512 - 24 for coverage, and
+                             # >= BAND + max per-band non-literal stream
+                             # bytes (128 tokens x ~6) so a deferred
+                             # token's literal run always completes the
+                             # band -- the stall-free invariant)
 DCAP = 14                    # max refill rows per stream per super (15=jump)
 SUPERS_PER_BLOCK = 256       # 512 B supers (1 band each) * 256 = 128 KB
 GROUPS = 16                  # 16 groups x 8 slots = 128 slots
@@ -203,14 +215,22 @@ def _last_nonzero_scan(x, seed):
     return jnp.where(v != 0, v, seed)
 
 
-def _search_count(ends, p):
+def _search_count(ends, p, exact=False):
     """Per element of p: how many of the 128 ascending per-row `ends` are
-    <= p (== index of the first end > p). Branchless binary search."""
+    <= p (== index of the first end > p). Branchless binary search. The
+    power-of-two ladder tops out at 127; pass exact=True where the
+    all-128-match case must read 128 -- the consumption-boundary `cnt`
+    NEEDS it (a band whose 128 tokens ALL end inside it otherwise
+    mis-fires the partial-token path); placement lookups don't (their
+    beyond-last-token positions are masked by the fill bound)."""
     c = jnp.zeros((8, 128), jnp.int32)
     for k in (64, 32, 16, 8, 4, 2, 1):
         m = c + k
         e = jnp.take_along_axis(ends, jnp.clip(m - 1, 0, 127), axis=1)
         c = jnp.where(e <= p, m, c)
+    if exact:
+        e = jnp.take_along_axis(ends, jnp.clip(c, 0, 127), axis=1)
+        c = c + (e <= p).astype(jnp.int32)
     return c
 
 
@@ -254,7 +274,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
     NG = 18 if liz else 13
 
     def super_body(pair, st):
-        sup = pair * 2
+        sup = pair * SUP_TILES
         gs, rp = st
 
         c = sup // spb
@@ -448,204 +468,16 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     _gchain(o16back, i * NT_OB, w, NT_OB)
             return fb_p, fb_c, fb_f, covered, fb_16, fb_24
 
-        def w_body_single(i, ctx, band_rp, stt, sj):
-            """One token step for interleave-group i, filling enc plane sj
-            (band positions [128*sj, 128*sj+128) — the band is built in 4
-            plane-local sub-phases so placement stays one-plane wide)."""
-            (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
-             fb_16, fb_24) = ctx
-            if liz:
-                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, e0, e1, e2, e3,
-                 p16, p24, last_off) = stt
-            else:
-                (startv, fillv, alive, cur_ll, cur_ml, cur_off, cur_am,
-                 cur_src, lit_p, flag_p, e0, e1, e2, e3) = stt
-            encs = [e0, e1, e2, e3]
-            sub_end = 128 * sj + 128
-            space = sub_end - startv
-
-            aliveb = alive != 0
-            pend = (aliveb & (cur_ml == -1) & (cur_ll == 0) &
-                    (space > 0) & covered)
-            need = aliveb & (cur_ll == 0) & (cur_ml == 0) & (space > 0)
-            exhausted = flag_p >= flag_len
-            tail = need & exhausted
-            fetch = need & jnp.logical_not(exhausted)
-
-            flag = _byte_at(ffront, i * NT_FF, flag_p - fb_f,
-                            (1 << 30) - 1, NT_FF)
-            if not liz:
-                ll0 = flag & 15
-                F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
-                ev, en = _ext_from(F1)
-                has_ll = ll0 == 15
-                ll = jnp.where(has_ll, ev + 15, ll0)
-                lp1 = lit_p + jnp.where(has_ll, en, 0)
-                lp2 = lp1 + ll
-                defer = lp2 > lit_p0 + DEFER_TH
-                mpos = jnp.where(pend, lit_p, lp2)
-                G2, G3 = _funnel8(pfront, i * NT_P, mpos - fb_p, NT_P)
-                off = (G2 & 0xFFFF).astype(jnp.int32)
-                n0 = ((G2 >> jnp.uint32(16)) & 255).astype(jnp.int32)
-                nrest = (_shr(G2, jnp.full_like(off, 24)) |
-                         _shl(G3, jnp.full_like(off, 8)))
-                nv16 = (nrest & 0xFFFF).astype(jnp.int32)
-                nv24 = (nrest & 0xFFFFFF).astype(jnp.int32)
-                nev = jnp.where(n0 < 254, n0,
-                                jnp.where(n0 == 254, nv16, nv24))
-                nen = jnp.where(n0 < 254, 1, jnp.where(n0 == 254, 3, 4))
-                ml0f = flag >> 4
-                ml0 = jnp.where(pend, cur_am, ml0f)
-                has_ml = ml0 == 15
-                ml = jnp.where(has_ml, nev + 15, ml0) + 4
-
-                cur_ml = jnp.where(pend, ml, cur_ml)
-                cur_off = jnp.where(pend, jnp.maximum(off, 1), cur_off)
-                lit_p = jnp.where(
-                    pend, lit_p + 2 + jnp.where(has_ml, nen, 0), lit_p)
-                cur_am = jnp.where(pend, 0, cur_am)
-
-                cur_ll = jnp.where(fetch, ll, cur_ll)
-                cur_src = jnp.where(fetch, lp1, cur_src)
-                cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
-                cur_off = jnp.where(fetch & jnp.logical_not(defer),
-                                    jnp.maximum(off, 1), cur_off)
-                cur_am = jnp.where(fetch, jnp.where(defer, ml0f, 0), cur_am)
-                lit_p = jnp.where(
-                    fetch,
-                    jnp.where(defer, lp2,
-                              lp2 + 2 + jnp.where(has_ml, nen, 0)),
-                    lit_p)
-                flag_p = jnp.where(fetch, flag_p + 1, flag_p)
-            else:
-                # LIZv1 codewords (lib/lizard_decompress_liz.h:14-220):
-                # [1_MMMM_LLL] rep / [0_MMMM_LLL] new 16-bit offset /
-                # tokens 0..30 ML=token+16 w/ 24-bit offset /
-                # token 31 ext-ML (>=47) w/ 24-bit offset
-                is_short = flag >= 32
-                is_rep = flag >= 128
-                ll0 = flag & 7
-                F1 = _funnel4(pfront, i * NT_P, lit_p - fb_p, NT_P)
-                ev, en = _ext_from(F1)
-                has_ll = is_short & (ll0 == 7)
-                ll = jnp.where(is_short,
-                               jnp.where(has_ll, ev + 7, ll0), 0)
-                lp1 = lit_p + jnp.where(has_ll, en, 0)
-                lp2 = lp1 + ll
-                # offsets come from their own streams (always resident)
-                O16 = _funnel4(o16front, i * NT_O, p16 - fb_16, NT_O)
-                off16v = (O16 & 0xFFFF).astype(jnp.int32)
-                O24 = _funnel4(o24front, i * NT_O, p24 - fb_24, NT_O)
-                off24v = (O24 & 0xFFFFFF).astype(jnp.int32)
-                # match length: short ext sits after the literal run (defer
-                # candidate); token-31 ext sits at lit_p (always resident)
-                mls = (flag >> 3) & 15
-                has_mls = is_short & (mls == 15)
-                mpos = jnp.where(pend, lit_p,
-                                 jnp.where(is_short, lp2, lit_p))
-                G2 = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
-                nev, nen = _ext_from(G2)
-                ml_short = jnp.where(mls == 15, nev + 15, mls)
-                ml_long = jnp.where(flag == 31, nev + 47, flag + 16)
-                ml = jnp.where(is_short, ml_short, ml_long)
-                defer = has_mls & (lp2 > lit_p0 + DEFER_TH)
-
-                # resolve a deferred short-token ml-ext
-                mlp = nev + 15
-                cur_ml = jnp.where(pend, mlp, cur_ml)
-                lit_p = jnp.where(pend, lit_p + nen, lit_p)
-
-                # fetch: update rep state and consume offset streams
-                use16 = fetch & is_short & jnp.logical_not(is_rep)
-                use24 = fetch & jnp.logical_not(is_short)
-                last_off = jnp.where(use16, off16v,
-                                     jnp.where(use24, off24v, last_off))
-                p16 = p16 + jnp.where(use16, 2, 0)
-                p24 = p24 + jnp.where(use24, 3, 0)
-                cur_off = jnp.where(fetch, jnp.maximum(last_off, 1),
-                                    cur_off)
-                cur_ll = jnp.where(fetch, ll, cur_ll)
-                cur_src = jnp.where(fetch, lp1, cur_src)
-                cur_ml = jnp.where(fetch, jnp.where(defer, -1, ml), cur_ml)
-                # consumed ml-ext bytes: short non-deferred ext at lp2;
-                # token 31 ext at lit_p
-                ext31 = fetch & jnp.logical_not(is_short) & (flag == 31)
-                nshort = jnp.where(has_mls & jnp.logical_not(defer), nen, 0)
-                lit_p = jnp.where(
-                    fetch,
-                    jnp.where(is_short, lp2 + nshort,
-                              lit_p + jnp.where(ext31, nen, 0)),
-                    lit_p)
-                flag_p = jnp.where(fetch, flag_p + 1, flag_p)
-                cur_am = jnp.where(pend, 0, cur_am)
-
-            tail_ll = jnp.maximum(lit_len - lit_p, 0)
-            cur_ll = jnp.where(tail, tail_ll, cur_ll)
-            cur_src = jnp.where(tail, lit_p, cur_src)
-            lit_p = jnp.where(tail, lit_len, lit_p)
-            alive = jnp.where(tail, 0, alive)
-
-            live_run = cur_ll > 0
-            tl = jnp.clip(cur_ll, 0, space) * live_run
-            lanes_j = lanes + sj * 128
-            m_l = (lanes_j >= startv) & (lanes_j < startv + tl)
-            encs[sj] = jnp.where(m_l, cur_src + (lanes_j - startv), encs[sj])
-            cur_src = cur_src + tl
-            cur_ll = cur_ll - tl
-            startv = startv + tl
-            space = sub_end - startv
-
-            # match placement: in-band sources copy already-placed encodings
-            # (always < startv after the rmod collapse, so from planes
-            # <= sj); out-of-band sources store the negative band-relative
-            # position directly
-            live_m = (cur_ml > 0) & (cur_ll == 0)
-            tm = jnp.clip(cur_ml, 0, space) * live_m
-            d = jnp.clip(lanes_j - startv, 0, 1 << 17)
-            rmod = _mod(d, cur_off)
-            src_band = startv - cur_off + rmod
-            inb = src_band >= 0
-            sb = jnp.clip(src_band, 0, BAND - 1)
-            if sj == 0:
-                copied = jnp.take_along_axis(encs[0],
-                                             jnp.clip(sb, 0, 127), axis=1)
-            else:
-                copied = jnp.zeros((8, 128), jnp.int32)
-                for t in range(sj + 1):
-                    g = jnp.take_along_axis(
-                        encs[t], jnp.clip(sb - t * 128, 0, 127), axis=1)
-                    copied = jnp.where((sb >> 7) == t, g, copied)
-            encm = jnp.where(inb, copied, src_band)
-            m_m = (lanes_j >= startv) & (lanes_j < startv + tm)
-            encs[sj] = jnp.where(m_m, encm, encs[sj])
-            cur_ml = jnp.where(live_m, cur_ml - tm, cur_ml)
-            startv = startv + tm
-            fillv = fillv + tl + tm
-
-            startv = jnp.where(
-                (cur_ll == 0) & (cur_ml == 0) & (alive == 0), BAND, startv)
-            startv = jnp.where(
-                (cur_ll == 0) & (cur_ml == -1) & jnp.logical_not(covered),
-                BAND, startv)
-            base = (startv, fillv, alive, cur_ll, cur_ml, cur_off,
-                    cur_am, cur_src, lit_p, flag_p,
-                    encs[0], encs[1], encs[2], encs[3])
-            if liz:
-                base = base + (p16, p24, last_off)
-            return base
-
-        NST = 17 if liz else 14
-
         def band_emit_all(ctxs, band_rp, rt_h, all_encs):
-            """Materialize every group's 512-byte band and pack each into
-            one (8,128) i32 word tile. Ring bytes are fetched by ONE fused
-            dynamic-reach chain: walk back only as many ring tiles as the
-            farthest back-reference across all groups needs; each iteration
-            carries il*4 independent gathers so the chain pipelines."""
+            """Materialize every group's BAND-byte band and pack it into
+            TPB (8,128) i32 word tiles. Ring bytes are fetched by ONE
+            fused dynamic-reach chain: walk back only as many ring tiles
+            as the farthest back-reference across all groups needs; each
+            iteration carries il*NP independent gathers so the chain
+            pipelines."""
             z = jnp.zeros((8, 128), jnp.int32)
             if _ABL == "skipemit":
-                return [z for _ in range(il)]
+                return [[z] * TPB for _ in range(il)]
 
             # farthest back-reference across groups (enc < 0 = -distance);
             # clamp keeps corrupt offsets (beyond the ring's reach) from
@@ -664,16 +496,16 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 out = []
                 for i in range(il):
                     tile = ring[pl.ds((i * rtiles + t_real) * 8, 8), :]
-                    for j in range(4):
+                    for j in range(NP):
                         e = all_encs[i][j]
                         pos = band_rp + e     # <0 allowed: >> floors
                         sel = (e < 0) & ((pos >> 9) == t_un)
                         g = jnp.take_along_axis(tile, (pos >> 2) & 127,
                                                 axis=1)
-                        out.append(jnp.where(sel, g, rws[i * 4 + j]))
+                        out.append(jnp.where(sel, g, rws[i * NP + j]))
                 return tuple(out)
 
-            init = tuple(z for _ in range(il * 4))
+            init = tuple(z for _ in range(il * NP))
             NEAR = 4                    # tiles always walked (offsets are
             if _ABL == "k0":            # mostly < 2 KB); far reaches take
                 rws = init              # the dynamic loop, usually 0 iters
@@ -696,8 +528,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             tiles = []
             for i in range(il):
                 fb_p, fb_c = ctxs[i][0], ctxs[i][1]
-                acc = z
-                for j in range(4):
+                accs = [z] * TPB
+                for j in range(NP):
                     enc = all_encs[i][j]
                     is_lit = enc >= 0
                     from_carry = is_lit & ((enc & CARRY_BIT) != 0)
@@ -711,7 +543,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                                         (1 << 30) - 1, NT_C)
                         lv = jnp.where(from_carry, lv_c, lv_p)
                     rpos = band_rp + enc
-                    rbyte = (_shr(rws[i * 4 + j].astype(jnp.uint32),
+                    rbyte = (_shr(rws[i * NP + j].astype(jnp.uint32),
                                   (rpos & 3) << 3) & 255).astype(jnp.int32)
                     band = jnp.where(is_lit, lv & 255, rbyte)
 
@@ -721,73 +553,13 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     p2 = p1 | _shl(
                         pltpu.roll(p1, 126, 1).astype(jnp.uint32),
                         jnp.full_like(band, 16)).astype(jnp.int32)
-                    src_lane = jnp.clip((lanes - 32 * j) * 4, 0, 127)
+                    jq = j & 3
+                    src_lane = jnp.clip((lanes - 32 * jq) * 4, 0, 127)
                     words = jnp.take_along_axis(p2, src_lane, axis=1)
-                    wmask = (lanes >= 32 * j) & (lanes < 32 * j + 32)
-                    acc = jnp.where(wmask, words, acc)
-                tiles.append(acc)
+                    wmask = (lanes >= 32 * jq) & (lanes < 32 * jq + 32)
+                    accs[j >> 2] = jnp.where(wmask, words, accs[j >> 2])
+                tiles.append(accs)
             return tiles
-
-        def one_band(carries, band_rp, rt_h):
-            ctxs = []
-            inits = []
-            for i in range(il):
-                cr = carries[i]
-                alive, cur_ll, cur_ml, cur_src, lit_p = (
-                    cr[0], cr[1], cr[2], cr[5], cr[6])
-                fb_p, fb_c, fb_f, covered, fb_16, fb_24 = band_prologue(i, cr)
-                ctxs.append((fb_p, fb_c, fb_f, covered, lit_p,
-                             gs[i][8], gs[i][9], fb_16, fb_24))
-                pend0 = (cur_ll > 0) | (cur_ml != 0) | (alive != 0)
-                startv0 = jnp.where(pend0, 0, BAND)
-                z = jnp.zeros((8, 128), jnp.int32)
-                ini = (startv0, z, alive,
-                       cur_ll, cur_ml, cr[3], cr[4],
-                       cur_src | jnp.where(cur_ll > 0, CARRY_BIT, 0),
-                       lit_p, cr[7], z, z, z, z)
-                if liz:
-                    ini = ini + (cr[9], cr[10], cr[11])
-                inits.extend(ini)
-
-            flat = tuple(inits)
-            if _ABL != "skipwhile":
-                # four plane-local sub-phases: placement stays one (8,128)
-                # plane wide while fronts/emit amortize over the full band
-                for sj in range(4):
-                    sub_end = 128 * sj + 128
-
-                    def w_cond(flat, sub_end=sub_end):
-                        cnd = flat[0][:, 0:1] < sub_end
-                        for i in range(1, il):
-                            cnd = cnd | (flat[i * NST][:, 0:1] < sub_end)
-                        return jnp.any(cnd)
-
-                    def w_body(flat, sj=sj):
-                        outs = []
-                        for i in range(il):
-                            # two tokens per iteration: amortizes the loop's
-                            # cross-unit any() reduce over twice the work
-                            sti = w_body_single(
-                                i, ctxs[i], band_rp,
-                                flat[i * NST:(i + 1) * NST], sj)
-                            outs.extend(w_body_single(
-                                i, ctxs[i], band_rp, sti, sj))
-                        return tuple(outs)
-
-                    flat = jax.lax.while_loop(w_cond, w_body, flat)
-            new_carries = []
-            tiles = band_emit_all(ctxs, band_rp, rt_h,
-                                  [list(flat[i * NST + 10:i * NST + 14])
-                                   for i in range(il)])
-            for i in range(il):
-                wst = flat[i * NST:(i + 1) * NST]
-                emitted = carries[i][8] + wst[1]
-                nc = (wst[2], wst[3], wst[4], wst[5], wst[6],
-                      wst[7] & POS_MASK, wst[8], wst[9], emitted)
-                if liz:
-                    nc = nc + (wst[14], wst[15], wst[16])
-                new_carries.append(nc)
-            return new_carries, tiles
 
         # ------------------------------------------------ scan-parse band
         # (SURVEY.md section 7 step 3: token scan -> length prefix sums ->
@@ -898,7 +670,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
              defer_lp2, defer_am) = fix
             lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
             pm = (nonsimple != 0) & (done == 0) & \
-                (Bq + pre_o < B + 512) & (lanes < defer_at)
+                (Bq + pre_o < B + BAND) & (lanes < defer_at)
             sidx = jnp.broadcast_to(
                 jnp.min(jnp.where(pm, lanes, 999), axis=1, keepdims=True),
                 (8, 128))
@@ -986,8 +758,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
              flag_p, fill) = carry9
             is_tok, is_tail, nv, blocked, Pb, cml = masks
             if liz:
-                p16, p24, last_off = encs[4], encs[5], encs[6]
-                encs = encs[:4]
+                p16, p24, last_off = encs[NP], encs[NP + 1], encs[NP + 2]
+                encs = encs[:NP]
             encs = list(encs)
 
             # tail pseudo-token: the literal-stream remainder
@@ -1024,13 +796,13 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             ends = Bq + _prefix_incl(oadv)
             ends_eff = jnp.where(consum, ends, BIG)
             starts = ends_eff - oadv
-            pe = B + 511
+            pe = B + BAND - 1
             cnt = _search_count(ends_eff, jnp.full((8, 128), 1, jnp.int32)
-                                * pe)
+                                * pe, exact=True)
             cntc = jnp.clip(cnt, 0, 127)
             start_c = _at_lane(starts, cntc)
             partial = (cnt < 128) & (start_c <= pe)
-            used = (B + 512) - start_c
+            used = (B + BAND) - start_c
             ll_c = _at_lane(ll_v, cntc)
             ml_c = _at_lane(ml_v, cntc)
             lsrc_c = _at_lane(lsrc_v, cntc)
@@ -1041,7 +813,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             defer_c = partial & (cntc == defer_at)
 
             # carry for the next pass/band
-            avail = jnp.maximum(B + 512 - Pb, 0)
+            avail = jnp.maximum(B + BAND - Pb, 0)
             c_ll_used = jnp.clip(cur_ll, 0, avail)
             c_ml_used = jnp.clip(cml, 0, avail - c_ll_used)
             ncur_ll = jnp.where(partial, jnp.maximum(ll_c - used, 0),
@@ -1090,21 +862,21 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     last_off)
 
             # fill progress
-            Xc = jnp.minimum(Bq, B + 512)
+            Xc = jnp.minimum(Bq, B + BAND)
             X = jnp.where(
-                partial, B + 512,
+                partial, B + BAND,
                 jnp.where(cnt >= 1,
                           jnp.minimum(_at_lane(ends_eff,
                                                jnp.clip(cnt - 1, 0, 127)),
-                                      B + 512),
+                                      B + BAND),
                           Xc))
             X = jnp.maximum(X, Xc)
-            nfill = jnp.clip(X - B, fill, 512)
+            nfill = jnp.clip(X - B, fill, BAND)
 
             # ---- enc placement for this pass's positions
             coff = jnp.maximum(cur_off, 1)
             tag = jnp.where(fill == 0, CARRY_BIT, 0)
-            for j in range(4):
+            for j in range(NP):
                 p = B + j * 128 + lanes
                 idx = _search_count(ends_eff, p)
                 idxc = jnp.clip(idx, 0, 127)
@@ -1115,7 +887,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 q = jnp.clip(p - st_t, 0, 1 << 17)
                 il_b = q < ll_t
                 enc_l = ls_t + q
-                m = jnp.clip(q - ll_t, 0, 511)
+                m = jnp.clip(q - ll_t, 0, BAND - 1)
                 src = st_t + ll_t - of_t + _mod(m, of_t)
                 src_b = src - B
                 encv = jnp.where(
@@ -1125,7 +897,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 in_cl = (pc >= 0) & (pc < cur_ll)
                 in_cm = (pc >= cur_ll) & (pc < cur_ll + cml)
                 enc_cl = (cur_src + pc) | tag
-                mseg = jnp.clip(pc - cur_ll, 0, 511)
+                mseg = jnp.clip(pc - cur_ll, 0, BAND - 1)
                 src2 = (Pb + cur_ll) - coff + _mod(mseg, coff) - B
                 enc_cm = jnp.where(src2 >= 0, INBAND | src2, src2)
                 encv = jnp.where(in_cl, enc_cl,
@@ -1136,13 +908,12 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 encs[j] = jnp.where(p < B + fill, encs[j], encv)
 
             out = (nalive, ncur_ll, ncur_ml, ncur_off, ncur_am, ncur_src,
-                   nlit_p, nflag_p, nfill, encs[0], encs[1], encs[2],
-                   encs[3])
+                   nlit_p, nflag_p, nfill) + tuple(encs)
             if liz:
                 out = out + (np16, np24, nlast_off)
             return out
 
-        NSC = 16 if liz else 13
+        NSC = (9 + NP + 3) if liz else (9 + NP)
 
         def scan_passes(ctxs, B, flat):
             """One full scan pass (A -> fused fixup -> C) for all groups."""
@@ -1164,7 +935,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                         ff[i * NFIX:(i + 1) * NFIX]
                     _, _, Bq, nonsimple, _, _, _ = invs[i]
                     pm = (nonsimple != 0) & (done == 0) & \
-                        (Bq + pre_o < B + 512) & (lanes < defer_at)
+                        (Bq + pre_o < B + BAND) & (lanes < defer_at)
                     v = jnp.any(pm)
                     c = v if c is None else (c | v)
                 return c
@@ -1185,8 +956,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             out = []
             for i in range(il):
                 fix = fflat[i * NFIX:(i + 1) * NFIX]
-                encs = list(sts[i][9:13]) + \
-                    (list(sts[i][13:16]) if liz else [])
+                encs = list(sts[i][9:9 + NP]) + \
+                    (list(sts[i][9 + NP:9 + NP + 3]) if liz else [])
                 out.extend(scan_C(i, ctxs[i], B, fix, invs[i], carrys[i],
                                   masksl[i], encs))
             return tuple(out)
@@ -1202,7 +973,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 ctxs.append((fb_p, fb_c, fb_f, covered, cr[6],
                              gs[i][8], gs[i][9], fb_16, fb_24))
                 st = (cr[0], cr[1], cr[2], cr[3], cr[4], cr[5], cr[6],
-                      cr[7], z, z, z, z, z)
+                      cr[7], z) + tuple(z for _ in range(NP))
                 if liz:
                     st = st + (cr[9], cr[10], cr[11])
                 flat.extend(st)
@@ -1215,7 +986,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 c = None
                 for i in range(il):
                     s = fl[i * NSC:(i + 1) * NSC]
-                    v = jnp.any((s[8][:, 0:1] < 512) & (s[0][:, 0:1] != 0)
+                    v = jnp.any((s[8][:, 0:1] < BAND) & (s[0][:, 0:1] != 0)
                                 & (s[2][:, 0:1] != -1))
                     c = v if c is None else (c | v)
                 return c
@@ -1227,12 +998,12 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 flat = jax.lax.while_loop(c_cond, c_body, flat)
 
             # resolve in-band pointers (log-depth path halving)
-            all_encs = [[flat[i * NSC + 9 + j] for j in range(4)]
+            all_encs = [[flat[i * NSC + 9 + j] for j in range(NP)]
                         for i in range(il)]
 
             def j_cond(es):
                 c = None
-                for k in range(il * 4):
+                for k in range(il * NP):
                     v = jnp.any((es[k] >= 0) & ((es[k] & INBAND) != 0))
                     c = v if c is None else (c | v)
                 return c
@@ -1240,13 +1011,13 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             def j_body(es):
                 out = []
                 for i in range(il):
-                    cur = [es[i * 4 + j] for j in range(4)]
-                    for j in range(4):
+                    cur = [es[i * NP + j] for j in range(NP)]
+                    for j in range(NP):
                         e = cur[j]
                         isb = (e >= 0) & ((e & INBAND) != 0)
-                        sb = e & 511
+                        sb = e & (BAND - 1)
                         val = jnp.zeros((8, 128), jnp.int32)
-                        for t in range(4):
+                        for t in range(NP):
                             g = jnp.take_along_axis(
                                 cur[t], jnp.clip(sb - t * 128, 0, 127),
                                 axis=1)
@@ -1259,7 +1030,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 es.extend(encs)
             if _ABL != "skipjump":
                 es = jax.lax.while_loop(j_cond, j_body, tuple(es))
-            all_encs = [[es[i * 4 + j] for j in range(4)]
+            all_encs = [[es[i * NP + j] for j in range(NP)]
                         for i in range(il)]
 
             tiles = band_emit_all(ctxs, band_rp, rt_h, all_encs)
@@ -1270,7 +1041,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 nc = (s[0], s[1], s[2], s[3], s[4], s[5] & POS_MASK,
                       s[6], s[7], emitted)
                 if liz:
-                    nc = nc + (s[13], s[14], s[15])
+                    nc = nc + (s[9 + NP], s[10 + NP], s[11 + NP])
                 new_carries.append(nc)
             return new_carries, tiles
 
@@ -1284,33 +1055,37 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             return cr
 
         carries = [g_to_carry(g) for g in gs]
-        for half in range(2):
-            rp_h = rp + half * 512
+        for half in range(SUP_BANDS):
+            sup_h = sup + half * TPB
+            rp_h = rp + half * BAND
             rp_h = jnp.where(rp_h >= ring_bytes, rp_h - ring_bytes, rp_h)
             rt_h = rp_h >> 9
-            if _SCAN:
-                B = (sup + half - c * spb) * 512   # block-relative band base
-                carries, tiles = one_band_scan(carries, rp_h, rt_h, B)
-            else:
-                carries, tiles = one_band(carries, rp_h, rt_h)
-            # store the finished tiles into the ring, flush to HBM
-            @pl.when((sup + half) > 0)
-            def _(rt_h=rt_h, half=half):
-                rt_prev = jnp.where(rt_h == 0, rtiles - 1, rt_h - 1)
+            rts = [rt_h]
+            for tp in range(1, TPB):
+                rts.append(jnp.where(rts[-1] + 1 >= rtiles, 0, rts[-1] + 1))
+            B = (sup_h - c * spb) * 512   # block-relative band base (bytes)
+            carries, tiles = one_band_scan(carries, rp_h, rt_h, B)
+            # drain the PREVIOUS band's flush DMAs before reusing sems
+            @pl.when(sup_h > 0)
+            def _():
                 for i in range(il):
-                    pltpu.make_async_copy(
-                        ring.at[pl.ds((i * rtiles + rt_prev) * 8, 8)],
+                    for tp in range(TPB):
+                        pltpu.make_async_copy(
+                            ring.at[pl.ds(0, 8)],
+                            out_hbm.at[pl.ds(0, 8)],
+                            sems.at[2]).wait()
+            for i in range(il):
+                for tp in range(TPB):
+                    ring[pl.ds((i * rtiles + rts[tp]) * 8, 8), :] = \
+                        tiles[i][tp]
+            for i in range(il):
+                for tp in range(TPB):
+                    cp = pltpu.make_async_copy(
+                        ring.at[pl.ds((i * rtiles + rts[tp]) * 8, 8)],
                         out_hbm.at[pl.ds(
-                            ((g0 + i) * T + sup + half - 1) * 8, 8)],
-                        sems.at[2]).wait()
-            for i in range(il):
-                ring[pl.ds((i * rtiles + rt_h) * 8, 8), :] = tiles[i]
-            for i in range(il):
-                cp = pltpu.make_async_copy(
-                    ring.at[pl.ds((i * rtiles + rt_h) * 8, 8)],
-                    out_hbm.at[pl.ds(((g0 + i) * T + sup + half) * 8, 8)],
-                    sems.at[2])
-                cp.start()
+                            ((g0 + i) * T + sup_h + tp) * 8, 8)],
+                        sems.at[2])
+                    cp.start()
 
         out_gs = []
         for i in range(il):
@@ -1320,7 +1095,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 g = g + (cr[9], cr[10], cr[11], gs[i][16], gs[i][17])
             out_gs.append(g)
 
-        rp2 = rp + 1024
+        rp2 = rp + SUP_TILES * 512
         rp2 = jnp.where(rp2 >= ring_bytes, rp2 - ring_bytes, rp2)
         return tuple(out_gs), rp2
 
@@ -1329,15 +1104,14 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
     if liz:
         g_init = g_init + (z, z, z, z, z)
     st = (tuple(g_init for _ in range(il)), jnp.int32(0))
-    gs_fin, rp_fin = jax.lax.fori_loop(0, T // 2, super_body, st)
+    gs_fin, rp_fin = jax.lax.fori_loop(0, T // SUP_TILES, super_body, st)
 
-    rt_last = rp_fin >> 9
-    rt_prev = jnp.where(rt_last == 0, rtiles - 1, rt_last - 1)
     for i in range(il):
-        pltpu.make_async_copy(
-            ring.at[pl.ds((i * rtiles + rt_prev) * 8, 8)],
-            out_hbm.at[pl.ds(((g0 + i) * T + T - 1) * 8, 8)],
-            sems.at[2]).wait()
+        for tp in range(TPB):
+            pltpu.make_async_copy(
+                ring.at[pl.ds(0, 8)],
+                out_hbm.at[pl.ds(0, 8)],
+                sems.at[2]).wait()
     for i in range(il):
         ltile[pl.ds(i * 8, 8), :] = gs_fin[i][12]
     for i in range(il):
@@ -1484,7 +1258,7 @@ def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
     kernel. Returns the decoded bytes of every block, in batch order.
 
     spb/rtiles/groups shrink the geometry for tests: blocks must decode to
-    <= spb*512 bytes and offsets must stay < rtiles*512 - 128. Production
+    <= spb*512 bytes and offsets must stay < (rtiles-2)*512 - 128. Production
     values cover 128 KB blocks with 64 KB offsets (fastLZ4) / 128 KB reach
     (LIZv1 within one inner block, e.g. -B1 independent frame blocks);
     larger LIZv1 windows (chained multi-block streams) must use the

@@ -9,8 +9,8 @@ import pytest
 from lizard_tpu.ref.block_encode import compress
 from lizard_tpu.utils.datagen import gen
 
-SPB = 4          # supers per block -> 2 KB blocks
-RTILES = 5       # 2560 B ring (> 2048 max offset + band)
+SPB = 4          # output tiles per block -> 2 KB blocks
+RTILES = 7       # 3584 B ring (> 2048 max offset + 1024 band)
 GROUPS = 1       # 8 slots
 
 
