@@ -25,6 +25,30 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_jax_compile_cache():
+    """Persistent XLA compile cache (works through the axon compile
+    service; verified to cut warm-process kernel compiles from minutes
+    to seconds). Opt out with LIZARD_TPU_NO_JAX_CACHE=1."""
+    if _os.environ.get("LIZARD_TPU_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "LIZARD_TPU_JAX_CACHE",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_jax_compile_cache()
+
 from lizard_tpu.api import (  # noqa: F401
     compress,
     decompress,

@@ -241,6 +241,50 @@ def decompress_one_frame(src: bytes, verify_checksum: bool = True) -> tuple[byte
     return bytes(out), p
 
 
+def compress_frame_tpu(data: bytes, level: int = 11,
+                       block_size_id: int = 0,
+                       content_checksum: bool = True,
+                       content_size: bool = False) -> bytes:
+    """Frame compression with the TPU-native match finder
+    (ops/encode_tpu.py): blockIndependent frame; every frame block's
+    128 KB chunks are batched through the device pipeline in one go.
+    fastLZ4 levels (10-19) only — other families raise ValueError."""
+    level = validate_level(level)
+    if not 10 <= level <= 19:
+        raise ValueError("compress_frame_tpu: fastLZ4 levels (10-19) only")
+    from lizard_tpu.ops.encode_tpu import encode_streams_tpu
+    if block_size_id == 0:
+        block_size_id = 1
+    block_size_id = _optimal_bsid(block_size_id, len(data))
+    block_size = LIZARDF_BLOCK_SIZES[block_size_id]
+
+    out = bytearray()
+    out += LIZARDF_MAGIC.to_bytes(4, "little")
+    flg = (1 << 6) | (1 << 5) | (int(content_checksum) << 2) \
+        | ((1 if content_size else 0) << 3)
+    header = bytearray([flg, (block_size_id & 7) << 4])
+    if content_size:
+        header += len(data).to_bytes(8, "little")
+    out += header
+    out.append((xxh32(bytes(header)) >> 8) & 0xFF)
+
+    parts = [data[pos:pos + block_size]
+             for pos in range(0, len(data), block_size)]
+    comps = encode_streams_tpu(parts, level=level)
+    for part, comp in zip(parts, comps):
+        if len(comp) >= len(part):
+            out += (len(part)
+                    | LIZARDF_BLOCKUNCOMPRESSED_FLAG).to_bytes(4, "little")
+            out += part
+        else:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+    out += (0).to_bytes(4, "little")
+    if content_checksum:
+        out += xxh32(data).to_bytes(4, "little")
+    return bytes(out)
+
+
 def compress_frame_fast(data: bytes, level: int = 11,
                         block_size_id: int = 0,
                         content_checksum: bool = True,
