@@ -136,11 +136,19 @@ def _shr(x, n):
     return jax.lax.shift_right_logical(x, n.astype(jnp.uint32))
 
 
-def _funnel4(win, gbase, byte_pos, ntiles):
-    """uint32 of the 4 LE bytes at per-slot window-relative byte_pos."""
+def _funnel4(win, gbase, byte_pos, ntiles, wrap=False):
+    """uint32 of the 4 LE bytes at per-slot byte_pos. wrap=True treats
+    the window as a mod-(ntiles*512) ring keyed by absolute position
+    (the backing-window layout); wrap=False expects window-relative
+    byte_pos already in range."""
     w0 = byte_pos >> 2
+    if wrap:
+        wm = ntiles * 128 - 1
+        w0, w1 = w0 & wm, (w0 + 1) & wm
+    else:
+        w1 = w0 + 1
     a = _gchain(win, gbase, w0, ntiles).astype(jnp.uint32)
-    b = _gchain(win, gbase, w0 + 1, ntiles).astype(jnp.uint32)
+    b = _gchain(win, gbase, w1, ntiles).astype(jnp.uint32)
     sh = ((byte_pos & 3) << 3)
     lo = _shr(a, sh)
     hi = jnp.where(sh == 0, jnp.uint32(0), _shl(b, (32 - sh) & 31))
@@ -456,16 +464,6 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             p16, p24 = stt[9], stt[10]   # carry layout: 9 p16, 10 p24
             fb_16 = p16 & ~511
             fb_24 = p24 & ~511
-            for j in range(NT_O):
-                w = ((((fb_24 & _MASK_OB) >> 2) + j * 128 + lanes)
-                     & (NT_OB * 128 - 1))
-                o24front[(i * NT_O + j) * 8:(i * NT_O + j) * 8 + 8, :] = \
-                    _gchain(o24back, i * NT_OB, w, NT_OB)
-            for j in range(NT_O):
-                w = ((((fb_16 & _MASK_OB) >> 2) + j * 128 + lanes)
-                     & (NT_OB * 128 - 1))
-                o16front[(i * NT_O + j) * 8:(i * NT_O + j) * 8 + 8, :] = \
-                    _gchain(o16back, i * NT_OB, w, NT_OB)
             return fb_p, fb_c, fb_f, covered, fb_16, fb_24
 
         def band_emit_all(ctxs, band_rp, rt_h, all_encs):
@@ -778,10 +776,10 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 u16, u24 = aux[3], aux[4]
                 p16rel = 2 * _prefix_excl(u16)
                 p24rel = 3 * _prefix_excl(u24)
-                O16 = _funnel4(o16front, i * NT_O, p16 + p16rel - fb_16,
-                               NT_O)
-                O24 = _funnel4(o24front, i * NT_O, p24 + p24rel - fb_24,
-                               NT_O)
+                O16 = _funnel4(o16back, i * NT_OB, p16 + p16rel,
+                               NT_OB, wrap=True)
+                O24 = _funnel4(o24back, i * NT_OB, p24 + p24rel,
+                               NT_OB, wrap=True)
                 cand = jnp.where(
                     u16 != 0, (O16 & 0xFFFF).astype(jnp.int32),
                     jnp.where(u24 != 0,
