@@ -199,7 +199,8 @@ def bench_encode_tpu(data, seconds):
     """TPU-native fastLZ4 encoder (ops/encode_tpu.py): on-device GB/s +
     ratio. Timed with a DEPENDENT chain — the axon runtime caches
     identical pure-XLA executions, so back-to-back identical calls
-    measure the cache, not the chip."""
+    measure the cache, not the chip. Expected ~0.001 GB/s: XLA-level
+    gathers at this scale are off the fast path (module docstring)."""
     import numpy as np
     import jax
     import jax.numpy as jnp

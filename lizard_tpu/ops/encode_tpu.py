@@ -36,6 +36,16 @@ ll | (ml-4)<<4, literal stream holds [ext-ll][literals][off16 LE]
 [ext-ml] per token, ext lengths <254 / 254+LE16 / 255+LE24, last-16-
 bytes-literal and match-start-before-end-20 rules enforced. Streams
 decode with liblizard and every decoder in this repo (interop-tested).
+
+MEASURED STATUS (v5e, Aug 2026): ratio 0.5647 on the bench corpus
+(better than the reference -10's 0.5757 and the native C++ encoder's
+0.544 at -11) but only ~1.2 MB/s wall — XLA's general gather/argsort on
+(8, 131072) arrays runs ~1e8 elem/s on this hardware (only (8,128)
+in-lane gathers are native; see tools/probe_primitives.py), and the
+pipeline is ~80 such passes. A fast TPU encoder therefore needs this
+same dataflow rebuilt as a Pallas kernel with tile-local gathers, the
+round-3 project; this module stands as the algorithm reference and the
+ratio/validity baseline for it.
 """
 
 import functools
@@ -91,28 +101,28 @@ def _encode_batch(u8, n, min_offset=8):
              & (jnp.take_along_axis(w, safe_c, axis=1) == w)
              & (pos < nn - MFLIMIT) & (nn >= LIZARD_MIN_LENGTH))
 
-    # word-compare extension, byte-exact via the first mismatching word
-    # (fori_loop, not unrolled: 33 unrolled gather rounds made the HLO
-    # big enough to take minutes to compile)
-    def ext_round(r, st):
-        ml, live, extra = st
+    # word-compare extension, byte-exact via the first mismatching word.
+    # UNROLLED on purpose: the lax.fori_loop formulation compiled 30x
+    # faster but executed ~40x slower on the TPU runtime here and hung
+    # sporadically; the unrolled build is slow to compile once and then
+    # served by the persistent compile cache (see _enable_jax_compile_
+    # cache in lizard_tpu/__init__.py).
+    ml = jnp.full((B, N), MINMATCH, jnp.int32)
+    live = valid
+    extra = jnp.zeros((B, N), jnp.int32)
+    for r in range(1, EXT_ROUNDS):
         a = jnp.take_along_axis(w, jnp.minimum(pos + 4 * r, N - 1), axis=1)
         b = jnp.take_along_axis(w, jnp.minimum(safe_c + 4 * r, N - 1),
                                 axis=1)
         x = a ^ b
-        eq = (x == 0) & (live != 0)
+        eq = (x == 0) & live
         tz = jnp.where((x & 0xFF) == 0,
                        jnp.where((x & 0xFFFF) == 0,
                                  jnp.where((x & 0xFFFFFF) == 0, 3, 2), 1), 0)
-        extra = jnp.where((live != 0) & ~eq, tz, extra)
+        extra = jnp.where(live & ~eq, tz, extra)
         ml = ml + jnp.where(eq, 4, 0)
-        return ml, eq.astype(jnp.int32), extra
-
-    ml, live_i, extra = jax.lax.fori_loop(
-        1, EXT_ROUNDS, ext_round,
-        (jnp.full((B, N), MINMATCH, jnp.int32), valid.astype(jnp.int32),
-         jnp.zeros((B, N), jnp.int32)))
-    ml = ml + jnp.where(live_i != 0, 0, extra) * valid
+        live = eq
+    ml = ml + jnp.where(live, 0, extra) * valid
     # cap: stay inside the chunk and leave the last 16 bytes literal
     ml = jnp.minimum(ml, CHUNK - (pos % CHUNK))
     ml = jnp.minimum(ml, nn - LASTLITERALS - pos)
@@ -184,15 +194,12 @@ def _encode_batch(u8, n, min_offset=8):
     # ---- literal-stream emission (binary search per output byte) ----
     LMAX = N + N // 4
     o = jnp.arange(LMAX, dtype=jnp.int32)[None, :]
-
-    def search_step(s, j):
-        k = jnp.int32(1) << (14 - s)
+    j = jnp.zeros((B, LMAX), jnp.int32)
+    for k in (16384, 8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16,
+              8, 4, 2, 1):
         m2 = jnp.minimum(j + k, MAXTOK)
         e = jnp.take_along_axis(tok_off, m2, axis=1)
-        return jnp.where(e <= o, m2, j)
-
-    j = jax.lax.fori_loop(0, 15, search_step,
-                          jnp.zeros((B, LMAX), jnp.int32))
+        j = jnp.where(e <= o, m2, j)
     in_body = o < body_len[:, None]
     jc = jnp.minimum(j, MAXTOK - 1)
     r = o - jnp.take_along_axis(tok_off, jc, axis=1)

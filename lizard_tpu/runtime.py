@@ -10,8 +10,10 @@ import ctypes
 import os
 import subprocess
 
-_SO = os.path.join(os.path.dirname(__file__), "..", "native", "build",
-                   "liblizard_tpu_runtime.so")
+_SO = os.environ.get(
+    "LIZARD_TPU_NATIVE_LIB",
+    os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                 "liblizard_tpu_runtime.so"))
 _lib = None
 _tried = False
 
