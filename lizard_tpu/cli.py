@@ -258,8 +258,30 @@ def _do_file_compress(opts, src_path):
             raise SystemExit("lizard: --content-size needs a seekable input")
         content_size = os.stat(src_path).st_size
 
+    if (opts.backend == "tpu" and not opts.block_linked
+            and 10 <= level <= 19):
+        # whole-buffer TPU pipeline (ops/encode_tpu.py); fastLZ4 only
+        from lizard_tpu.frame import compress_frame_tpu
+        data = src.read()
+        if src_path != "-":
+            src.close()
+        t0 = time.time()
+        frame = compress_frame_tpu(
+            data, level, block_size_id=opts.block_size_id,
+            content_checksum=opts.frame_crc,
+            content_size=bool(content_size))
+        dst, close_dst = _open_dst(opts, dst_path)
+        dst.write(frame)
+        if close_dst:
+            dst.close()
+        _finish_file(opts, src_path, dst_path, close_dst)
+        pct = 100.0 * len(frame) / max(len(data), 1)
+        _log(opts, 2, f"Compressed {len(data)} bytes into {len(frame)} "
+                      f"bytes ==> {pct:.2f}% ({time.time() - t0:.2f}s)")
+        return
+
     from lizard_tpu.frame import FrameEncoder
-    backend = "native" if (opts.backend == "native"
+    backend = "native" if (opts.backend in ("native", "tpu")
                            and not opts.block_linked) else "ref"
     enc = FrameEncoder(level=level, block_size_id=opts.block_size_id,
                        block_linked=opts.block_linked,

@@ -279,7 +279,7 @@ def _inner_blocks(blocks, min_offset):
                 # throughput is already saturated at 8 blocks
     for base in range(0, len(blocks), BATCH):
         part = blocks[base:base + BATCH]
-        nb = BATCH if len(blocks) > BATCH else len(part)
+        nb = BATCH           # fixed batch shape: exactly one compile ever
         u8 = np.zeros((nb, N), np.uint8)
         n = np.zeros((nb,), np.int32)
         for k, d in enumerate(part):
