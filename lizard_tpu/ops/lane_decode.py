@@ -662,6 +662,76 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
 
         NFIX = 10
 
+        def pre_resolve_lz4(i, fix, inv):
+            """Vector pre-pass: resolve every ml-ext-only token BEFORE the
+            first ll-ext token in one shot. Their ext-byte positions don't
+            depend on unread VALUES (only ll-ext values shift the stream),
+            so with a 1-byte-ext speculation all reads issue in parallel;
+            lanes from the first ll-ext / multi-byte-ext / deferred token
+            onward stay for the serial fixup loop."""
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
+            lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
+            ll0, ml0v = aux[0], aux[1]
+            ns = nonsimple != 0
+            eml = ns & (ll0 < 15)          # => ml0v == 15
+            c1 = _prefix_excl(eml.astype(jnp.int32))
+            lp2 = lit_p + pre_s + c1 + ll0
+            mpos = lp2 + 2
+            F = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+            b0 = (F & 255).astype(jnp.int32)
+            dfr = lp2 > lit_p0 + DEFER_TH
+            bad = (ns & (ll0 == 15)) | (eml & ((b0 >= 254) | dfr))
+            first_bad = jnp.broadcast_to(
+                jnp.min(jnp.where(bad, lanes, 999), axis=1, keepdims=True),
+                (8, 128))
+            R = eml & (lanes < first_bad)
+            ml_new = b0 + 19                     # (b0+15) + MINMATCH
+            d_out = jnp.where(R, b0, 0)
+            pre_s = pre_s + _prefix_excl(R.astype(jnp.int32))
+            pre_o = pre_o + _prefix_excl(d_out)
+            ml_v = jnp.where(R, ml_new, ml_v)
+            adv_v = jnp.where(R, ll0 + 3, adv_v)
+            done = jnp.where(R, 1, done)
+            return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+                    defer_lp2, defer_am)
+
+        def pre_resolve_liz(i, fix, inv):
+            """LIZv1 analog of pre_resolve_lz4: resolve short tokens whose
+            only extension is the match length (ll0<7, mls==15) and long-
+            match tokens (flag==31, ml ext at the token's own parse
+            position) before the first ll-ext token, with the same 1-byte
+            speculation. LIZv1 parse advance per unresolved token is tiny
+            (ll0<=7 baseline, no inline offsets), so speculative positions
+            stay well inside the front window up to the first bad lane."""
+            (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+             defer_lp2, defer_am) = fix
+            lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
+            ll0, mls, is_short_i = aux[0], aux[1], aux[2]
+            ns = nonsimple != 0
+            short = is_short_i != 0
+            f31 = flag == 31
+            eml = ns & ((short & (ll0 < 7) & (mls == 15)) | f31)
+            c1 = _prefix_excl(eml.astype(jnp.int32))
+            mpos = lit_p + pre_s + c1 + ll0       # ll0 == 0 for flag31
+            F = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+            b0 = (F & 255).astype(jnp.int32)
+            dfr = mpos > lit_p0 + DEFER_TH
+            bad = (ns & short & (ll0 == 7)) | (eml & ((b0 >= 254) | dfr))
+            first_bad = jnp.broadcast_to(
+                jnp.min(jnp.where(bad, lanes, 999), axis=1, keepdims=True),
+                (8, 128))
+            R = eml & (lanes < first_bad)
+            ml_new = jnp.where(f31, b0 + 47, b0 + 15)
+            d_out = jnp.where(R, b0, 0)
+            pre_s = pre_s + _prefix_excl(R.astype(jnp.int32))
+            pre_o = pre_o + _prefix_excl(d_out)
+            ml_v = jnp.where(R, ml_new, ml_v)
+            adv_v = jnp.where(R, ll0 + 1, adv_v)
+            done = jnp.where(R, 1, done)
+            return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
+                    defer_lp2, defer_am)
+
         def fix_body_one(i, B, fix, inv):
             """Resolve the next unprocessed ext-length token of group i."""
             (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
@@ -919,6 +989,9 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             fixes, invs, carrys, masksl = [], [], [], []
             for i in range(il):
                 fix, inv, carry9, masks = scan_A(i, ctxs[i], B, sts[i])
+                if _ABL != "skippre":
+                    fix = (pre_resolve_liz if liz else
+                           pre_resolve_lz4)(i, fix, inv)
                 fixes.append(fix)
                 invs.append(inv)
                 carrys.append(carry9)
