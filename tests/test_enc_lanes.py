@@ -1,0 +1,70 @@
+"""Pallas lane encoder tests (interpret mode, CPU).
+
+Phase 1 (match finding) is checked bit-exactly against the numpy mirror
+p1_reference on a shrunken geometry (8 KB blocks, 2^10 table)."""
+
+import numpy as np
+import pytest
+
+from lizard_tpu.ops.enc_lanes import EncCfg, p1_call, p1_reference, \
+    pack_blocks
+
+CFG = EncCfg(n=8192, hl=10, maxoff=2047,
+             probes=(8, 12, 16, 24, 32, 64, 128, 256))
+
+
+def _mk_blocks(seed=0):
+    from lizard_tpu.utils.datagen import gen, text_like
+    rng = np.random.default_rng(seed)
+    blocks = [
+        gen(CFG.n, seed, proba=0.7),
+        text_like(CFG.n, seed + 1),
+        gen(CFG.n // 2 + 13, seed + 2, proba=0.4),
+        bytes(rng.integers(0, 256, CFG.n, dtype=np.uint8)),  # incompressible
+        b"\x55" * (CFG.n // 3),                              # RLE
+        bytes(np.tile(np.frombuffer(b"abcdefg", np.uint8), 700)),  # period 7
+        gen(200, seed + 3, proba=0.6),
+        b"",
+    ]
+    return blocks
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_p1_matches_reference(seed):
+    blocks = _mk_blocks(seed)
+    w32i, meta = pack_blocks(blocks, CFG)
+    import jax.numpy as jnp
+    packed = np.asarray(p1_call(jnp.asarray(w32i), jnp.asarray(meta),
+                                CFG, interpret=True))
+    ref, _ = p1_reference(blocks, CFG)
+    # packed rows i*8+b -> (b, pos)
+    got = (packed.reshape(CFG.nseg, 8, 128).transpose(1, 0, 2)
+           .reshape(8, CFG.n).astype(np.int64) - 1)
+    for b in range(8):
+        neq = np.nonzero(got[b] != ref[b])[0]
+        assert neq.size == 0, (
+            f"block {b}: {neq.size} mismatches, first at {neq[:5]}: "
+            f"got {got[b][neq[:5]]} want {ref[b][neq[:5]]}")
+
+
+def test_p1_candidates_are_real_matches():
+    """Every reported candidate must 4-byte-match its position."""
+    blocks = _mk_blocks(3)
+    w32i, meta = pack_blocks(blocks, CFG)
+    import jax.numpy as jnp
+    packed = np.asarray(p1_call(jnp.asarray(w32i), jnp.asarray(meta),
+                                CFG, interpret=True))
+    got = (packed.reshape(CFG.nseg, 8, 128).transpose(1, 0, 2)
+           .reshape(8, CFG.n).astype(np.int64) - 1)
+    for b, d in enumerate(blocks):
+        u8 = np.zeros(CFG.n + 4, np.uint8)
+        u8[:len(d)] = np.frombuffer(d, np.uint8)
+        c = got[b]
+        idx = np.nonzero(c >= 0)[0]
+        if not idx.size:
+            continue
+        off = idx - c[idx]
+        assert off.min() >= CFG.min_offset
+        assert off.max() <= CFG.maxoff
+        for r in range(4):
+            assert np.array_equal(u8[idx + r], u8[c[idx] + r])
