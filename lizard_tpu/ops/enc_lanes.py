@@ -47,10 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MINMATCH = 4
-MFLIMIT = 12
-LASTLITERALS = 5
-LIZARD_MIN_LENGTH = 13
+from lizard_tpu.format.constants import (     # noqa: E402
+    MINMATCH,                  # 4
+    MFLIMIT,                   # 20: last match starts before n-20
+    LASTLITERALS,              # 16: last 16 bytes stay literal
+    LIZARD_MIN_LENGTH,         # 21 (lizard_common.h:78-81)
+)
+
 SEG = 128
 RING = 16                     # w8 ring rows (probe reach: 15*128 bytes)
 HMUL = 2654435761
@@ -264,6 +267,251 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
     )(meta, w32i)
 
 
+# ---------------------------------------------------------------- pass A
+#
+# The parse. Segment-synchronized serial greedy, 8 blocks on sublanes:
+# an outer fori walks the 128-byte segments (the fori index keeps every
+# cand/word read statically addressed); an inner while processes ONE
+# token per sublane per iteration:
+#   - a pending match carried from the previous segment is extended by
+#     a segment-wide eq-row first (at most one per sublane per segment),
+#   - otherwise the sublane acquires the first candidate at/after its
+#     cursor (lane min-reduce) and extends it the same way.
+# The eq-row fetches the 128 source bytes at (segment_start - d) by a
+# funnel gather over the w32 word tiles: a static NEAR-tile chain plus
+# a dynamic far loop driven by the iteration's max offset -- the lane
+# decoder's dynamic-reach trick (lane_decode.py band_emit_all). A first
+# mismatching word + trailing-zero-byte count gives the byte-exact
+# match length (reference semantics, lib/lizard_parser_fast.h:41-196);
+# an all-equal row carries the token into the next segment.
+#
+# Tokens (s, ml, d) pack 42 per (8,128) row (3 lanes each, slot = the
+# global iteration counter, dynamic-roll placement); ml=0 slots are
+# idle-iteration nulls the host filters out.
+
+TPR = 42                      # tokens (iteration slots) per output row
+ENC_NEAR = 4                  # source tiles always chained (d <= 2 KB+)
+
+
+def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
+               w32, cand, tok, sems):
+    lanes = _iota1()
+    sub = _iota0()
+    nseg = cfg.nseg
+
+    cp0 = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
+    cp0.start()
+    cp1 = pltpu.make_async_copy(cand_hbm, cand, sems.at[1])
+    cp1.start()
+    tok[:, :] = jnp.zeros(((MAXROWS + 1) * 8, 128), jnp.int32)
+    cp0.wait()
+    cp1.wait()
+
+    nv = jnp.zeros((8, 128), jnp.int32)
+    for b in range(8):
+        nv = jnp.where(sub == b, meta[b], nv)
+    limv = nv - LASTLITERALS
+
+    z = jnp.zeros((8, 128), jnp.int32)
+
+    def seg_body(i, st):
+        cur, pend, ps, pd, pchk, it, slot, row, acc = st
+        X0 = i * SEG
+        p = X0 + lanes
+
+        # current-side bytes (same funnel as phase 1)
+        t0 = i >> 2
+        c32 = 32 * i + (lanes >> 2)
+        T0 = w32[pl.ds(t0 * 8, 8)]
+        T1 = w32[pl.ds(jnp.minimum(t0 + 1, cfg.wtiles) * 8, 8)]
+        wlo = jnp.where((c32 >> 7) == t0, _take(T0, c32 & 127),
+                        _take(T1, c32 & 127))
+        c32p = c32 + 1
+        whi = jnp.where((c32p >> 7) == t0, _take(T0, c32p & 127),
+                        _take(T1, c32p & 127))
+        sh = (lanes & 3) << 3
+        w8c = (_shr(wlo.astype(jnp.uint32), sh)
+               | jnp.where(sh == 0, jnp.uint32(0),
+                           _shl(whi.astype(jnp.uint32), (32 - sh) & 31)))
+
+        crow = cand[pl.ds(i * 8, 8)]
+        valid = crow > 0
+        drow = p - (crow - 1)
+
+        pchk = pend                      # pending needs one check here
+
+        def w_cond(stt):
+            cur, pend, ps, pd, pchk, it, slot, row, acc = stt
+            av = valid & (p >= cur)
+            work = ((pend > 0) & (pchk > 0)) | ((pend == 0) & av)
+            return jnp.any(work) & (row < MAXROWS)
+
+        def w_body(stt):
+            cur, pend, ps, pd, pchk, it, slot, row, acc = stt
+
+            av = valid & (p >= cur)
+            m999 = jnp.where(av, lanes, 999)
+            sidx = jnp.broadcast_to(jnp.min(m999, axis=1, keepdims=True),
+                                    (8, 128))
+            has = sidx < 999
+            s_new = X0 + sidx
+            d_new = _take(drow, jnp.clip(sidx, 0, 127))
+
+            ap = (pend > 0) & (pchk > 0)        # pending check
+            aq = (pend == 0) & has              # acquisition
+            active = ap | aq
+            s_tok = jnp.where(ap, ps, s_new)
+            d_tok = jnp.where(ap, pd, d_new)
+            rel0 = jnp.where(ap, 0, sidx)
+
+            # ---- source bytes at p - d_tok: near chain + far loop ----
+            y = p - d_tok
+            wi = y >> 2
+            wt = wi >> 7
+            wtp = (wi + 1) >> 7
+            lo = z
+            hi = z
+            Ttop = i >> 2
+            for k in range(ENC_NEAR + 1):
+                t_un = Ttop - k
+                tc = jnp.maximum(t_un, 0)
+                tile = w32[pl.ds(tc * 8, 8)]
+                glo = _take(tile, wi & 127)
+                ghi = _take(tile, (wi + 1) & 127)
+                lo = jnp.where(wt == t_un, glo, lo)
+                hi = jnp.where(wtp == t_un, ghi, hi)
+
+            dmax = jnp.max(jnp.where(active, d_tok, 0))
+            tmin = (X0 - dmax) >> 9
+            kfar = jnp.maximum((Ttop - tmin) - ENC_NEAR, 0)
+
+            def far(q, lh):
+                lo, hi = lh
+                t_un = Ttop - (ENC_NEAR + 1) - q
+                tc = jnp.maximum(t_un, 0)
+                tile = w32[pl.ds(tc * 8, 8)]
+                glo = _take(tile, wi & 127)
+                ghi = _take(tile, (wi + 1) & 127)
+                return (jnp.where(wt == t_un, glo, lo),
+                        jnp.where(wtp == t_un, ghi, hi))
+
+            lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
+            shs = (y & 3) << 3
+            w8s = (_shr(lo.astype(jnp.uint32), shs)
+                   | jnp.where(shs == 0, jnp.uint32(0),
+                               _shl(hi.astype(jnp.uint32), (32 - shs) & 31)))
+
+            # ---- mismatch search ----
+            xor = (w8c ^ w8s).astype(jnp.int32)
+            mm = (xor != 0) | (p >= limv)
+            xm = mm & (lanes >= rel0) & active
+            xim = jnp.where(xm, lanes, 999)
+            xi = jnp.broadcast_to(jnp.min(xim, axis=1, keepdims=True),
+                                  (8, 128))
+            found = active & (xi < 999)
+
+            xv = _take(xor, jnp.clip(xi, 0, 127))
+            tz = jnp.where((xv & 0xFF) != 0, 0,
+                           jnp.where((xv & 0xFFFF) != 0, 1,
+                                     jnp.where((xv & 0xFFFFFF) != 0, 2, 3)))
+            ml = jnp.minimum((X0 + xi) - s_tok + tz, limv - s_tok)
+
+            # ---- state update ----
+            cur = jnp.where(found, s_tok + ml, cur)
+            survived = active & (xi >= 999)      # crosses into next segment
+            pend = jnp.where(found, 0,
+                             jnp.where(survived, 1, pend)).astype(jnp.int32)
+            ps = jnp.where(survived, s_tok, ps)
+            pd = jnp.where(survived, d_tok, pd)
+            pchk = jnp.where(active, 0, pchk)
+
+            # ---- emit (lane slots 3k..3k+2 of row it//TPR) ----
+            fz = found.astype(jnp.int32)
+            tok3 = (jnp.where(lanes == 0, s_tok,
+                              jnp.where(lanes == 1, ml,
+                                        jnp.where(lanes == 2, d_tok, 0)))
+                    * fz)
+            rolled = pltpu.roll(tok3, slot * 3, 1)
+            acc = jnp.where(slot == 0, rolled, acc | rolled)
+            tok[pl.ds(row * 8, 8)] = acc
+            wrap = slot == TPR - 1
+            slot = jnp.where(wrap, 0, slot + 1)
+            row = row + wrap.astype(jnp.int32)
+            return (cur, pend, ps, pd, pchk, it + 1, slot, row, acc)
+
+        cur, pend, ps, pd, pchk, it, slot, row, acc = jax.lax.while_loop(
+            w_cond, w_body, (cur, pend, ps, pd, pchk, it, slot, row, acc))
+        return (cur, pend, ps, pd, pchk, it, slot, row, acc)
+
+    init = (z, z, z, z, z, jnp.int32(0), jnp.int32(0), jnp.int32(0), z)
+    st = jax.lax.fori_loop(0, nseg, seg_body, init)
+    it_fin = st[5]
+    tok[pl.ds(MAXROWS * 8, 8)] = jnp.full((8, 128), it_fin, jnp.int32)
+
+    cp_out = pltpu.make_async_copy(tok, tok_hbm, sems.at[2])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _maxrows(cfg):
+    # every iteration finalizes a token or parks a pending per sublane;
+    # per segment at most 32 matches (ml >= 4) + 1 pending check
+    return (cfg.nseg * 33 + TPR - 1) // TPR
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False):
+    """w32i from pack_blocks; cand_packed from p1_call ((nseg*8,128)
+    cand+1). Returns tok ((MAXROWS+1)*8, 128) i32: row r lane 3k..3k+2 =
+    (s, ml, d) of iteration r*TPR+k (ml=0 null); final tile = total
+    iteration count."""
+    MAXROWS = _maxrows(cfg)
+    kernel = functools.partial(_pA_kernel, cfg, MAXROWS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg * 8, 128), jnp.int32),
+            pltpu.VMEM(((MAXROWS + 1) * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(((MAXROWS + 1) * 8, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, w32i, cand_packed)
+
+
+def unpack_tokens(tok, cfg: EncCfg):
+    """Host: tok array from pA_call -> per-block token lists
+    [(s, ml, d), ...] in parse order."""
+    MAXROWS = _maxrows(cfg)
+    tok = np.asarray(tok)
+    it_fin = int(tok[MAXROWS * 8, 0])
+    rows = min((it_fin + TPR - 1) // TPR, MAXROWS)
+    body = tok[:rows * 8].reshape(rows, 8, 128)
+    out = [[] for _ in range(8)]
+    k3 = np.arange(TPR) * 3
+    s_all = body[:, :, k3]            # (rows, 8, TPR)
+    ml_all = body[:, :, k3 + 1]
+    d_all = body[:, :, k3 + 2]
+    for b in range(8):
+        sel = ml_all[:, b, :] > 0
+        rs, ks = np.nonzero(sel)
+        order = np.argsort(rs * TPR + ks, kind="stable")
+        out[b] = list(zip(s_all[:, b, :][sel][order].tolist(),
+                          ml_all[:, b, :][sel][order].tolist(),
+                          d_all[:, b, :][sel][order].tolist()))
+    return out
+
+
 # ------------------------------------------------------------- host util
 
 def pack_blocks(blocks, cfg: EncCfg):
@@ -280,6 +528,60 @@ def pack_blocks(blocks, cfg: EncCfg):
     # giving exact zero-padded funnel semantics at the block tail
     w32i = np.concatenate([w32i, np.zeros((8, 128), np.int32)], axis=0)
     return w32i, meta
+
+
+def p2_reference(blocks, cfg: EncCfg, cand=None):
+    """Numpy mirror of pass A (the parse): greedy with EXACT per-token
+    extension over the phase-1 candidate set, matching the reference
+    fast parser's semantics (lib/lizard_parser_fast.h:41-196: acquire
+    next match at/after the cursor, extend to first mismatching byte,
+    jump the cursor past it). Returns per-block token lists
+    [(s, ml, d), ...] with s strictly increasing, ml >= MINMATCH.
+
+    Extension is word-exact the way the kernel computes it: first
+    mismatching 4-byte word at byte granularity + trailing-zero bytes
+    of the xor, clamped to lim = n - LASTLITERALS."""
+    if cand is None:
+        cand, _ = p1_reference(blocks, cfg)
+    out = []
+    for b, data in enumerate(blocks):
+        n = len(data)
+        toks = []
+        if n >= LIZARD_MIN_LENGTH:
+            u8 = np.zeros(cfg.n + 4, np.uint8)
+            u8[:n] = np.frombuffer(data, np.uint8)
+            w8 = (u8[:cfg.n].astype(np.uint32)
+                  | u8[1:cfg.n + 1].astype(np.uint32) << 8
+                  | u8[2:cfg.n + 2].astype(np.uint32) << 16
+                  | u8[3:cfg.n + 3].astype(np.uint32) << 24)
+            cb = cand[b]
+            cpos = np.flatnonzero(cb >= 0)
+            lim = n - LASTLITERALS
+            cur = 0
+            ci = 0
+            while ci < len(cpos):
+                ci = np.searchsorted(cpos, cur)
+                if ci >= len(cpos):
+                    break
+                s = int(cpos[ci])
+                d = s - int(cb[s])
+                # exact extension: first x in [s, lim) with w8 mismatch
+                x = s
+                win = 128
+                ml = lim - s
+                while x < lim:
+                    e = min(x + win, lim)
+                    neq = np.flatnonzero(w8[x:e] != w8[x - d:e - d])
+                    if neq.size:
+                        x += int(neq[0])
+                        ml = min(x - s + 3, lim - s)
+                        break
+                    x = e
+                    win *= 4
+                toks.append((s, ml, d))
+                cur = s + ml
+        out.append(toks)
+    return out
 
 
 def p1_reference(blocks, cfg: EncCfg):

@@ -68,3 +68,48 @@ def test_p1_candidates_are_real_matches():
         assert off.max() <= CFG.maxoff
         for r in range(4):
             assert np.array_equal(u8[idx + r], u8[c[idx] + r])
+
+
+def test_passA_matches_reference():
+    """Pass-A kernel (interpret) must emit exactly the mirror's greedy
+    token list for every block."""
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import pA_call, p2_reference, \
+        unpack_tokens
+    blocks = _mk_blocks(11)
+    w32i, meta = pack_blocks(blocks, CFG)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), CFG,
+                     interpret=True)
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), CFG,
+                  interpret=True)
+    got = unpack_tokens(tok, CFG)
+    want = p2_reference(blocks, CFG)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"block {b}: {len(got[b])} vs {len(want[b])} tokens; first "
+            f"diff: {next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
+
+
+def test_passA_tokens_are_valid():
+    """Tokens must describe real matches: byte equality over [s, s+ml),
+    disjoint coverage in order, min offset respected."""
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import pA_call, unpack_tokens
+    from lizard_tpu.format.constants import LASTLITERALS, MINMATCH
+    blocks = _mk_blocks(23)
+    w32i, meta = pack_blocks(blocks, CFG)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), CFG,
+                     interpret=True)
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), CFG,
+                  interpret=True)
+    got = unpack_tokens(tok, CFG)
+    for b, data in enumerate(blocks):
+        u8 = np.frombuffer(data, np.uint8)
+        n = len(data)
+        end = 0
+        for (s, ml, d) in got[b]:
+            assert ml >= MINMATCH and s >= end
+            assert CFG.min_offset <= d <= CFG.maxoff
+            assert s + ml <= n - LASTLITERALS
+            assert np.array_equal(u8[s:s + ml], u8[s - d:s - d + ml])
+            end = s + ml
