@@ -512,6 +512,160 @@ def unpack_tokens(tok, cfg: EncCfg):
     return out
 
 
+# ------------------------------------------------- pass B: emission (host)
+#
+# Token lists -> the fastLZ4 inner-block streams (flags + literal body,
+# layout per lizard_compress_lz4.h:3-71, same container assembly as
+# ops/encode_tpu.py). Fully vectorized numpy: every write position comes
+# from a prefix sum over per-token stream sizes; literal runs copy via
+# the repeat/gap method. ~O(output bytes) in C-speed passes.
+
+RUN_MASK = 15
+ML_MASK = 15
+
+
+def _ext_sizes(v, present):
+    """Byte count of a length-extension field (0 if not present)."""
+    return np.where(present,
+                    np.where(v < 254, 1, np.where(v < (1 << 16), 3, 4)), 0)
+
+
+def emit_tokens(data: bytes, st, ml, off):
+    """st/ml/off: int64 numpy arrays (parse order). Returns
+    (flags u8 array, lits u8 array)."""
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    nt = len(st)
+    if nt == 0:
+        return np.zeros(0, np.uint8), src.copy()
+    ends = st + ml
+    prev_end = np.empty(nt, np.int64)
+    prev_end[0] = 0
+    prev_end[1:] = ends[:-1]
+    ll = st - prev_end
+    mlx = ml - MINMATCH
+
+    flags = (np.minimum(ll, RUN_MASK)
+             | (np.minimum(mlx, ML_MASK) << 4)).astype(np.uint8)
+
+    vll = ll - RUN_MASK
+    vml = mlx - ML_MASK
+    ell = _ext_sizes(vll, ll >= RUN_MASK)
+    eml = _ext_sizes(vml, mlx >= ML_MASK)
+    tsz = ell + ll + 2 + eml
+    off_tok = np.zeros(nt + 1, np.int64)
+    np.cumsum(tsz, out=off_tok[1:])
+    tail_ll = n - ends[-1]
+    out = np.zeros(off_tok[-1] + tail_ll, np.uint8)
+
+    def put_ext(base, v, elen):
+        has = elen >= 1
+        b = base[has]
+        vv = v[has]
+        first = np.where(elen[has] == 1, vv,
+                         np.where(elen[has] == 3, 254, 255))
+        out[b] = first
+        m3 = elen >= 3
+        b3, v3 = base[m3], v[m3]
+        out[b3 + 1] = v3 & 255
+        out[b3 + 2] = (v3 >> 8) & 255
+        m4 = elen == 4
+        out[base[m4] + 3] = (v[m4] >> 16) & 255
+
+    put_ext(off_tok[:-1], vll, ell)
+
+    # literal runs: output [off_tok+ell, +ll) <- src[prev_end, +ll)
+    tot_l = int(ll.sum())
+    if tot_l:
+        cum = np.zeros(nt, np.int64)
+        np.cumsum(ll[:-1], out=cum[1:])
+        ar = np.arange(tot_l, dtype=np.int64) - np.repeat(cum, ll)
+        out[np.repeat(off_tok[:-1] + ell, ll) + ar] = \
+            src[np.repeat(prev_end, ll) + ar]
+
+    opos = off_tok[:-1] + ell + ll
+    out[opos] = off & 255
+    out[opos + 1] = (off >> 8) & 255
+    put_ext(opos + 2, vml, eml)
+
+    if tail_ll:
+        out[off_tok[-1]:] = src[ends[-1]:]
+    return flags, out
+
+
+def unpack_token_arrays(tok, cfg: EncCfg):
+    """Host: tok array from pA_call -> 8 (st, ml, d) int64 array triples
+    in parse order."""
+    MAXROWS = _maxrows(cfg)
+    tok = np.asarray(tok)
+    it_fin = int(tok[MAXROWS * 8, 0])
+    rows = min((it_fin + TPR - 1) // TPR, MAXROWS)
+    body = tok[:rows * 8].reshape(rows, 8, 128)
+    k3 = np.arange(TPR) * 3
+    # slot (row, k) = iteration row*TPR+k: row-major order IS parse order
+    s_all = body[:, :, k3].astype(np.int64)
+    ml_all = body[:, :, k3 + 1].astype(np.int64)
+    d_all = body[:, :, k3 + 2].astype(np.int64)
+    res = []
+    for b in range(8):
+        sel = ml_all[:, b, :] > 0
+        res.append((s_all[:, b, :][sel], ml_all[:, b, :][sel],
+                    d_all[:, b, :][sel]))
+    return res
+
+
+def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
+                        interpret=False):
+    """Compress up-to-128 KB blocks with the Pallas lane pipeline
+    (p1 match finder + pass-A parse on device, emission on host).
+    Returns one fastLZ4 container stream (level byte + inner block) per
+    input, decodable by liblizard and this repo's decoders."""
+    import jax.numpy as jnp
+    from lizard_tpu.ops.encode_tpu import _assemble
+    if cfg is None:
+        cfg = EncCfg()
+    for d in blocks:
+        if len(d) > cfg.n:
+            raise ValueError("encode_blocks_lanes: block > cfg.n")
+    res = [None] * len(blocks)
+    for base in range(0, len(blocks), 8):
+        part = blocks[base:base + 8]
+        w32i, meta = pack_blocks(part, cfg)
+        packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                         interpret=interpret)
+        tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+                      interpret=interpret)
+        arrs = unpack_token_arrays(np.asarray(tok), cfg)
+        for k, d in enumerate(part):
+            st, ml, off = arrs[k]
+            flags, lits = emit_tokens(d, st, ml, off)
+            res[base + k] = _assemble(d, flags, len(flags), lits,
+                                      len(lits))
+    return [bytes([level]) + b for b in res]
+
+
+def encode_streams_lanes(datas, level=10, cfg: EncCfg = None,
+                         interpret=False):
+    """Compress arbitrary-size buffers: level byte + independent
+    cfg.n-sized inner blocks (same chunking contract as
+    ops/encode_tpu.py encode_streams_tpu)."""
+    if cfg is None:
+        cfg = EncCfg()
+    chunks = []
+    spans = []
+    for d in datas:
+        s0 = len(chunks)
+        for i in range(0, len(d), cfg.n):
+            chunks.append(d[i:i + cfg.n])
+        if len(d) == 0:
+            chunks.append(b"")
+        spans.append((s0, len(chunks)))
+    inner = encode_blocks_lanes(chunks, level=level, cfg=cfg,
+                                interpret=interpret)
+    body = [b[1:] for b in inner]          # strip the per-chunk level byte
+    return [bytes([level]) + b"".join(body[a:b]) for a, b in spans]
+
+
 # ------------------------------------------------------------- host util
 
 def pack_blocks(blocks, cfg: EncCfg):

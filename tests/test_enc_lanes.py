@@ -113,3 +113,58 @@ def test_passA_tokens_are_valid():
             assert s + ml <= n - LASTLITERALS
             assert np.array_equal(u8[s:s + ml], u8[s - d:s - d + ml])
             end = s + ml
+
+
+def _lane_encode(blocks, level=10):
+    from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+    return encode_blocks_lanes(blocks, level=level, cfg=CFG,
+                               interpret=True)
+
+
+def test_lane_encode_roundtrip():
+    from lizard_tpu.ref.block_decode import decompress
+    blocks = _mk_blocks(31)
+    encs = _lane_encode(blocks)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+def test_lane_encode_edge_sizes():
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.utils.datagen import gen
+    blocks = [gen(sz, sz, proba=0.5)
+              for sz in (0, 1, 3, 19, 20, 21, 22, 64, 511, 4097)]
+    encs = _lane_encode(blocks)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+def test_lane_encode_compresses():
+    from lizard_tpu.utils.datagen import gen, text_like
+    blocks = [gen(CFG.n, 1, proba=0.7), text_like(CFG.n, 2)]
+    encs = _lane_encode(blocks)
+    assert len(encs[0]) < 0.75 * CFG.n
+    assert len(encs[1]) < 0.8 * CFG.n
+
+
+def test_lane_encode_streams_multiblock():
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.ops.enc_lanes import encode_streams_lanes
+    from lizard_tpu.utils.datagen import gen
+    d = gen(3 * CFG.n + 777, 9, proba=0.6)
+    s = encode_streams_lanes([d], level=11, cfg=CFG, interpret=True)[0]
+    assert bytes(decompress(s, max_out=len(d))) == d
+
+
+def test_lane_encode_liblizard_interop():
+    """Streams must decode with the reference library itself."""
+    import pytest
+    oracle = pytest.importorskip("tests.oracle")
+    oracle.require_oracle()
+    lib = oracle._load()
+    o = oracle.Oracle(lib)
+    from lizard_tpu.utils.datagen import gen, text_like
+    for d in (gen(CFG.n, 4, proba=0.65), text_like(CFG.n, 5),
+              b"abcdefgh" * 1000, gen(5000, 6, proba=0.4)):
+        e = _lane_encode([d])[0]
+        assert o.decompress(e, len(d)) == d
