@@ -239,6 +239,53 @@ def bench_encode_tpu(data, seconds):
     return nb * N / best / 1e9, ratio
 
 
+def bench_encode_lanes(data, seconds):
+    """Pallas lane encoder (ops/enc_lanes.py): on-device GB/s of the
+    p1+passA kernels over distinct 1 MB groups (Pallas kernels are
+    side-effecting and never served from the axon execution cache), plus
+    the end-to-end ratio through host emission."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import (EncCfg, p1_call, pA_call,
+                                          pack_blocks,
+                                          encode_blocks_lanes)
+
+    cfg = EncCfg()
+    N = cfg.n
+    blocks = [data[i:i + N] for i in range(0, len(data), N)]
+    groups = []
+    for base in range(0, len(blocks) - 7, 8):
+        w32i, meta = pack_blocks(blocks[base:base + 8], cfg)
+        groups.append((jnp.asarray(w32i), jnp.asarray(meta)))
+    for w, m in groups:
+        w.block_until_ready()
+    # warm compile
+    pA_call(groups[0][0], p1_call(*groups[0], cfg), groups[0][1],
+            cfg).block_until_ready()
+
+    done = 0
+    t0 = time.perf_counter()
+    g = 0
+    while True:
+        w, m = groups[g % len(groups)]
+        tok = pA_call(w, p1_call(w, m, cfg), m, cfg)
+        g += 1
+        done += 8 * N
+        if g % 4 == 0:
+            tok.block_until_ready()
+            if time.perf_counter() - t0 >= seconds and g >= len(groups):
+                break
+    tok.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    comp = encode_blocks_lanes(blocks[:32], level=10)
+    ratio = sum(map(len, comp)) / sum(len(b) for b in blocks[:32])
+    # round-trip spot check
+    from lizard_tpu.ref.block_decode import decompress
+    assert bytes(decompress(comp[0], max_out=len(blocks[0]))) == blocks[0]
+    return done / dt / 1e9, ratio
+
+
 def main():
     import jax
 
@@ -288,6 +335,14 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             result["encode_tpu"] = {"error": str(e)[:120]}
+        try:
+            lg, lr = bench_encode_lanes(data, min(BENCH_SECONDS, 3.0))
+            result["encode_lanes"] = {"gbps": round(lg, 4),
+                                      "ratio": round(lr, 4)}
+            print(f"# encode_lanes: {lg:.4f} GB/s ratio={lr:.4f}",
+                  file=sys.stderr)
+        except Exception as e:
+            result["encode_lanes"] = {"error": str(e)[:120]}
 
     print(json.dumps(result))
 

@@ -244,15 +244,28 @@ def decompress_one_frame(src: bytes, verify_checksum: bool = True) -> tuple[byte
 def compress_frame_tpu(data: bytes, level: int = 11,
                        block_size_id: int = 0,
                        content_checksum: bool = True,
-                       content_size: bool = False) -> bytes:
-    """Frame compression with the TPU-native match finder
-    (ops/encode_tpu.py): blockIndependent frame; every frame block's
-    128 KB chunks are batched through the device pipeline in one go.
-    fastLZ4 levels (10-19) only — other families raise ValueError."""
+                       content_size: bool = False,
+                       engine: str | None = None) -> bytes:
+    """Frame compression with the TPU-native encoder: blockIndependent
+    frame; every frame block's 128 KB chunks are batched through the
+    device pipeline in one go. engine="lanes" (default) uses the Pallas
+    lane pipeline (ops/enc_lanes.py: p1 match finder + pass-A parse on
+    device, host emission); engine="xla" keeps the all-XLA reference
+    pipeline (ops/encode_tpu.py). fastLZ4 levels (10-19) only — other
+    families raise ValueError."""
     level = validate_level(level)
     if not 10 <= level <= 19:
         raise ValueError("compress_frame_tpu: fastLZ4 levels (10-19) only")
-    from lizard_tpu.ops.encode_tpu import encode_streams_tpu
+    if engine is None:
+        # Pallas kernels need a real TPU; the all-XLA pipeline runs
+        # anywhere (tests exercise it on the CPU backend)
+        import jax
+        engine = "lanes" if jax.default_backend() != "cpu" else "xla"
+    if engine == "lanes":
+        from lizard_tpu.ops.enc_lanes import encode_streams_lanes
+        encode_streams_tpu = encode_streams_lanes
+    else:
+        from lizard_tpu.ops.encode_tpu import encode_streams_tpu
     if block_size_id == 0:
         block_size_id = 1
     block_size_id = _optimal_bsid(block_size_id, len(data))

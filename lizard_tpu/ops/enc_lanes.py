@@ -403,6 +403,19 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
 
             # ---- mismatch search ----
             xor = (w8c ^ w8s).astype(jnp.int32)
+
+            # back-extension (lizard_parser_fast.h:102): consecutive
+            # byte-equal lanes immediately below the match start, floored
+            # at the anchor, the window base, and this segment's start
+            bmin = jnp.maximum(jnp.maximum(cur - X0, d_tok - X0), 0)
+            blocker = (((xor & 255) != 0) | (lanes < bmin)) & (lanes < rel0)
+            bidx = jnp.broadcast_to(
+                jnp.max(jnp.where(blocker, lanes, -1), axis=1,
+                        keepdims=True), (8, 128))
+            back = jnp.where(aq, jnp.maximum(rel0 - jnp.maximum(
+                bidx + 1, bmin), 0), 0)
+            s_tok = s_tok - back
+
             mm = (xor != 0) | (p >= limv)
             xm = mm & (lanes >= rel0) & active
             xim = jnp.where(xm, lanes, 999)
@@ -615,15 +628,18 @@ def unpack_token_arrays(tok, cfg: EncCfg):
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
-                        interpret=False):
+                        interpret=None):
     """Compress up-to-128 KB blocks with the Pallas lane pipeline
     (p1 match finder + pass-A parse on device, emission on host).
     Returns one fastLZ4 container stream (level byte + inner block) per
     input, decodable by liblizard and this repo's decoders."""
+    import jax
     import jax.numpy as jnp
     from lizard_tpu.ops.encode_tpu import _assemble
     if cfg is None:
         cfg = EncCfg()
+    if interpret is None:      # Pallas needs a real TPU; CPU interprets
+        interpret = jax.default_backend() == "cpu"
     for d in blocks:
         if len(d) > cfg.n:
             raise ValueError("encode_blocks_lanes: block > cfg.n")
@@ -645,7 +661,7 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
 
 
 def encode_streams_lanes(datas, level=10, cfg: EncCfg = None,
-                         interpret=False):
+                         interpret=None):
     """Compress arbitrary-size buffers: level byte + independent
     cfg.n-sized inner blocks (same chunking contract as
     ops/encode_tpu.py encode_streams_tpu)."""
@@ -732,7 +748,14 @@ def p2_reference(blocks, cfg: EncCfg, cand=None):
                         break
                     x = e
                     win *= 4
-                toks.append((s, ml, d))
+                # back-extension (lizard_parser_fast.h:102): byte-wise
+                # while above the anchor and the window base; the lane
+                # kernel additionally floors at the segment start
+                floor = max(cur, d, (s // SEG) * SEG)
+                bk = s
+                while bk > floor and u8[bk - 1] == u8[bk - 1 - d]:
+                    bk -= 1
+                toks.append((bk, ml + (s - bk), d))
                 cur = s + ml
         out.append(toks)
     return out

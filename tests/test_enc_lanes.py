@@ -168,3 +168,13 @@ def test_lane_encode_liblizard_interop():
               b"abcdefgh" * 1000, gen(5000, 6, proba=0.4)):
         e = _lane_encode([d])[0]
         assert o.decompress(e, len(d)) == d
+
+
+def test_frame_roundtrip_lanes_engine():
+    """compress_frame_tpu(engine='lanes') round-trips (interpret mode is
+    auto-selected on the CPU backend). Small sizes keep interpret fast."""
+    from lizard_tpu.frame import compress_frame_tpu, decompress_frame
+    from lizard_tpu.utils.datagen import gen
+    d = gen(40000, 13, proba=0.62)
+    f = compress_frame_tpu(d, level=11, engine="lanes")
+    assert decompress_frame(f) == d
