@@ -29,6 +29,14 @@ def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL,
     elif backend == "native":
         from lizard_tpu import runtime as _rt
         out = _rt.compress(data, level, max_out=max_out)
+    elif backend == "tpu":
+        # Pallas lane pipeline (ops/enc_lanes.py); fastLZ4 family only —
+        # LIZv1/Huffman levels have no device encoder yet (use "native")
+        if not 10 <= level <= 19:
+            raise ValueError(
+                "backend='tpu' supports fastLZ4 levels 10-19 only")
+        from lizard_tpu.ops.enc_lanes import encode_streams_lanes
+        out = encode_streams_lanes([data], level=level)[0]
     else:
         raise NotImplementedError(backend)
     if max_out is not None and len(out) > max_out:

@@ -644,13 +644,18 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
         if len(d) > cfg.n:
             raise ValueError("encode_blocks_lanes: block > cfg.n")
     res = [None] * len(blocks)
+    # dispatch every group first (jax dispatch is async): device compute
+    # for group k+1.. overlaps the host emission of group k
+    jobs = []
     for base in range(0, len(blocks), 8):
         part = blocks[base:base + 8]
         w32i, meta = pack_blocks(part, cfg)
-        packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
-                         interpret=interpret)
-        tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
-                      interpret=interpret)
+        w32j, metaj = jnp.asarray(w32i), jnp.asarray(meta)
+        packed = p1_call(w32j, metaj, cfg, interpret=interpret)
+        jobs.append((base, part,
+                     pA_call(w32j, packed, metaj, cfg,
+                             interpret=interpret)))
+    for base, part, tok in jobs:
         arrs = unpack_token_arrays(np.asarray(tok), cfg)
         for k, d in enumerate(part):
             st, ml, off = arrs[k]

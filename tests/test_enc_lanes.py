@@ -178,3 +178,14 @@ def test_frame_roundtrip_lanes_engine():
     d = gen(40000, 13, proba=0.62)
     f = compress_frame_tpu(d, level=11, engine="lanes")
     assert decompress_frame(f) == d
+
+
+def test_api_compress_tpu_backend():
+    import pytest
+    from lizard_tpu.api import compress, decompress
+    from lizard_tpu.utils.datagen import gen
+    d = gen(50000, 17, proba=0.6)
+    out = compress(d, level=11, backend="tpu")
+    assert decompress(out, max_out=len(d)) == d
+    with pytest.raises(ValueError):
+        compress(d, level=25, backend="tpu")
