@@ -30,8 +30,10 @@ Phase 1 (this kernel) per segment:
      keep the OLD entry -- never garbage (probe_enc_scheme2.py showed
      garbage entries cost +5.5% ratio).
 
-Output: packed (nseg*8, 128) candidate array (cand+1, 0 = none),
-consumed by phase 2 (parse + emission).
+Output: packed (nseg/2*8, 128) candidate array, two segments per row:
+bits [0,16) = match DISTANCE d at even segment positions, bits [16,32)
+the odd segment (0 = no candidate; d <= maxoff < 2^16). Consumed by
+pass A (the parse).
 
 Reference parity: the scheme replaces lib/lizard_parser_fast.h:41-196's
 serial hash-table walk; stream layout produced by phase 2 matches
@@ -68,6 +70,8 @@ class EncCfg:
     min_offset: int = 8       # LIZARD_FAST_MIN_OFFSET (interop: >= 8)
     probes: tuple = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
                      384, 512, 768, 1024)
+    tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
+                              # overflow -> host fallback, see pass A)
 
     @property
     def nw(self):
@@ -195,8 +199,13 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
             ok = (best < 0) & (p - d >= 0) & (vd == w8i)
             best = jnp.where(ok, p - d, best)
 
-        mask = (p < nv - MFLIMIT) & (nv >= LIZARD_MIN_LENGTH)
-        packed[pl.ds(i * 8, 8)] = jnp.where(mask, best, -1) + 1
+        mask = (p < nv - MFLIMIT) & (nv >= LIZARD_MIN_LENGTH) & (best >= 0)
+        d16 = jnp.where(mask, p - best, 0)
+        dhalf = carry
+
+        @pl.when((i & 1) == 1)
+        def _():
+            packed[pl.ds((i >> 1) * 8, 8)] = dhalf | (d16 << 16)
 
         # ---- insert ----------------------------------------------------
         hnext = pltpu.roll(h, 127, 1)         # h[l+1] (wraps at 127)
@@ -228,9 +237,10 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
                                 jnp.broadcast_to(row, (8, 128)), upd)
             old = table[t * 8:(t + 1) * 8]
             table[t * 8:(t + 1) * 8] = jnp.where(upd > 0, upd, old)
-        return carry
+        return d16
 
-    jax.lax.fori_loop(0, cfg.nseg, body, 0)
+    assert cfg.nseg % 2 == 0
+    jax.lax.fori_loop(0, cfg.nseg, body, jnp.zeros((8, 128), jnp.int32))
 
     cp_out = pltpu.make_async_copy(packed, packed_hbm, sems.at[1])
     cp_out.start()
@@ -241,7 +251,9 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
     """w32i: (wtiles*8, 128) i32 interleaved words (tile t row b =
     words [t*128,+128) of block b). meta: (8,) i32 block lengths.
-    Returns packed (nseg*8, 128) i32: cand+1 per position."""
+    Returns packed (nseg/2*8, 128) i32: per position, the match
+    DISTANCE (0 = none) — even segment in bits [0,16), odd in
+    [16,32)."""
     kernel = functools.partial(_p1_kernel, cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -252,7 +264,7 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
             pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
             pltpu.VMEM((cfg.ttiles * 8, 128), jnp.int32),
             pltpu.VMEM((RING * 8, 128), jnp.int32),
-            pltpu.VMEM((cfg.nseg * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
             pltpu.VMEM((8 * cfg.ttiles, 128), jnp.int32),
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -261,7 +273,7 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cfg.nseg * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((cfg.nseg // 2 * 8, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, w32i)
@@ -334,9 +346,9 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                | jnp.where(sh == 0, jnp.uint32(0),
                            _shl(whi.astype(jnp.uint32), (32 - sh) & 31)))
 
-        crow = cand[pl.ds(i * 8, 8)]
-        valid = crow > 0
-        drow = p - (crow - 1)
+        raw = cand[pl.ds((i >> 1) * 8, 8)]
+        drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
+        valid = drow > 0
 
         pchk = pend                      # pending needs one check here
 
@@ -344,7 +356,9 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             cur, pend, ps, pd, pchk, it, slot, row, acc = stt
             av = valid & (p >= cur)
             work = ((pend > 0) & (pchk > 0)) | ((pend == 0) & av)
-            return jnp.any(work) & (row < MAXROWS)
+            # safety bound only (true bound is 33/segment); emission
+            # clamps at MAXROWS and the host detects overflow by it_fin
+            return jnp.any(work) & (it < nseg * 34)
 
         def w_body(stt):
             cur, pend, ps, pd, pchk, it, slot, row, acc = stt
@@ -355,7 +369,7 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                                     (8, 128))
             has = sidx < 999
             s_new = X0 + sidx
-            d_new = _take(drow, jnp.clip(sidx, 0, 127))
+            d_new = _take(drow, jnp.clip(sidx, 0, 127))  # distance at s
 
             ap = (pend > 0) & (pchk > 0)        # pending check
             aq = (pend == 0) & has              # acquisition
@@ -446,7 +460,7 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                     * fz)
             rolled = pltpu.roll(tok3, slot * 3, 1)
             acc = jnp.where(slot == 0, rolled, acc | rolled)
-            tok[pl.ds(row * 8, 8)] = acc
+            tok[pl.ds(jnp.minimum(row, MAXROWS - 1) * 8, 8)] = acc
             wrap = slot == TPR - 1
             slot = jnp.where(wrap, 0, slot + 1)
             row = row + wrap.astype(jnp.int32)
@@ -466,18 +480,33 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
     cp_out.wait()
 
 
+def unpack_d16(packed, cfg: EncCfg):
+    """Host: p1_call output -> (8, n) int64 match-distance map."""
+    pk = np.asarray(packed).reshape(cfg.nseg // 2, 8, 128)
+    d = np.empty((cfg.nseg, 8, 128), np.int64)
+    d[0::2] = pk & 0xFFFF
+    d[1::2] = (pk >> 16) & 0xFFFF
+    return d.transpose(1, 0, 2).reshape(8, cfg.n)
+
+
+class TokenOverflow(Exception):
+    """Pass A emitted more iterations than the token buffer holds
+    (pathological token density); the caller must fall back."""
+
+
 def _maxrows(cfg):
-    # every iteration finalizes a token or parks a pending per sublane;
-    # per segment at most 32 matches (ml >= 4) + 1 pending check
-    return (cfg.nseg * 33 + TPR - 1) // TPR
+    # worst case: 32 matches (ml >= 4) + 1 pending check per segment;
+    # cfg.tok_rows caps the buffer (VMEM/DMA) — overflow falls back
+    return min(cfg.tok_rows, (cfg.nseg * 33 + TPR - 1) // TPR)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False):
-    """w32i from pack_blocks; cand_packed from p1_call ((nseg*8,128)
-    cand+1). Returns tok ((MAXROWS+1)*8, 128) i32: row r lane 3k..3k+2 =
+    """w32i from pack_blocks; cand_packed from p1_call (d16-packed).
+    Returns tok ((MAXROWS+1)*8, 128) i32: row r lane 3k..3k+2 =
     (s, ml, d) of iteration r*TPR+k (ml=0 null); final tile = total
-    iteration count."""
+    iteration count (> MAXROWS*TPR means the buffer overflowed and
+    tokens were dropped — callers must fall back, see TokenOverflow)."""
     MAXROWS = _maxrows(cfg)
     kernel = functools.partial(_pA_kernel, cfg, MAXROWS)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -488,7 +517,7 @@ def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM((cfg.nseg * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
             pltpu.VMEM(((MAXROWS + 1) * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -508,6 +537,8 @@ def unpack_tokens(tok, cfg: EncCfg):
     MAXROWS = _maxrows(cfg)
     tok = np.asarray(tok)
     it_fin = int(tok[MAXROWS * 8, 0])
+    if it_fin > MAXROWS * TPR:
+        raise TokenOverflow(it_fin)
     rows = min((it_fin + TPR - 1) // TPR, MAXROWS)
     body = tok[:rows * 8].reshape(rows, 8, 128)
     out = [[] for _ in range(8)]
@@ -612,6 +643,8 @@ def unpack_token_arrays(tok, cfg: EncCfg):
     MAXROWS = _maxrows(cfg)
     tok = np.asarray(tok)
     it_fin = int(tok[MAXROWS * 8, 0])
+    if it_fin > MAXROWS * TPR:
+        raise TokenOverflow(it_fin)
     rows = min((it_fin + TPR - 1) // TPR, MAXROWS)
     body = tok[:rows * 8].reshape(rows, 8, 128)
     k3 = np.arange(TPR) * 3
@@ -656,13 +689,31 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
                      pA_call(w32j, packed, metaj, cfg,
                              interpret=interpret)))
     for base, part, tok in jobs:
-        arrs = unpack_token_arrays(np.asarray(tok), cfg)
+        try:
+            arrs = unpack_token_arrays(np.asarray(tok), cfg)
+        except TokenOverflow:
+            # pathological token density blew the capped buffer: this
+            # group re-encodes through the host fallback
+            for k, d in enumerate(part):
+                res[base + k] = _fallback_inner(d, level)
+            continue
         for k, d in enumerate(part):
             st, ml, off = arrs[k]
             flags, lits = emit_tokens(d, st, ml, off)
             res[base + k] = _assemble(d, flags, len(flags), lits,
                                       len(lits))
     return [bytes([level]) + b for b in res]
+
+
+def _fallback_inner(d, level):
+    """One inner block via the native encoder (or the XLA pipeline when
+    the native runtime is unavailable)."""
+    try:
+        from lizard_tpu import runtime
+        return runtime.compress(d, level)[1:]
+    except Exception:
+        from lizard_tpu.ops.encode_tpu import encode_blocks_tpu
+        return encode_blocks_tpu([d], level=level)[0][1:]
 
 
 def encode_streams_lanes(datas, level=10, cfg: EncCfg = None,
@@ -705,7 +756,7 @@ def pack_blocks(blocks, cfg: EncCfg):
     return w32i, meta
 
 
-def p2_reference(blocks, cfg: EncCfg, cand=None):
+def p2_reference(blocks, cfg: EncCfg, dmap=None):
     """Numpy mirror of pass A (the parse): greedy with EXACT per-token
     extension over the phase-1 candidate set, matching the reference
     fast parser's semantics (lib/lizard_parser_fast.h:41-196: acquire
@@ -716,8 +767,8 @@ def p2_reference(blocks, cfg: EncCfg, cand=None):
     Extension is word-exact the way the kernel computes it: first
     mismatching 4-byte word at byte granularity + trailing-zero bytes
     of the xor, clamped to lim = n - LASTLITERALS."""
-    if cand is None:
-        cand, _ = p1_reference(blocks, cfg)
+    if dmap is None:
+        dmap, _ = p1_reference(blocks, cfg)
     out = []
     for b, data in enumerate(blocks):
         n = len(data)
@@ -729,8 +780,8 @@ def p2_reference(blocks, cfg: EncCfg, cand=None):
                   | u8[1:cfg.n + 1].astype(np.uint32) << 8
                   | u8[2:cfg.n + 2].astype(np.uint32) << 16
                   | u8[3:cfg.n + 3].astype(np.uint32) << 24)
-            cb = cand[b]
-            cpos = np.flatnonzero(cb >= 0)
+            db = dmap[b]
+            cpos = np.flatnonzero(db > 0)
             lim = n - LASTLITERALS
             cur = 0
             ci = 0
@@ -739,7 +790,7 @@ def p2_reference(blocks, cfg: EncCfg, cand=None):
                 if ci >= len(cpos):
                     break
                 s = int(cpos[ci])
-                d = s - int(cb[s])
+                d = int(db[s])
                 # exact extension: first x in [s, lim) with w8 mismatch
                 x = s
                 win = 128
@@ -767,7 +818,8 @@ def p2_reference(blocks, cfg: EncCfg, cand=None):
 
 
 def p1_reference(blocks, cfg: EncCfg):
-    """Bit-exact numpy mirror of the phase-1 kernel (the test oracle)."""
+    """Bit-exact numpy mirror of the phase-1 kernel (the test oracle).
+    Returns ((8, n) int64 match-distance map, 0 = none; meta)."""
     u8 = np.zeros((8, cfg.n), np.uint8)
     meta = np.zeros((8,), np.int64)
     for b, d in enumerate(blocks):
@@ -789,7 +841,7 @@ def p1_reference(blocks, cfg: EncCfg):
         h = ((w8 * np.uint32(HMUL)) >> np.uint32(32 - cfg.hl)).astype(
             np.int64)
         table = np.zeros(1 << cfg.hl, np.int64)   # stores pos+1
-        cand = np.full(cfg.n, -1, np.int64)
+        cand = np.zeros(cfg.n, np.int64)
         pos = np.arange(cfg.n)
         for i in range(cfg.nseg):
             seg = slice(i * SEG, (i + 1) * SEG)
@@ -806,8 +858,9 @@ def p1_reference(blocks, cfg: EncCfg):
                 ok = (best < 0) & (c >= 0) & (
                     w8[np.clip(c, 0, cfg.n - 1)] == w8[seg])
                 best = np.where(ok, c, best)
-            mask = (ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
-            cand[seg] = np.where(mask, best, -1)
+            mask = ((ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
+                    & (best >= 0))
+            cand[seg] = np.where(mask, ps - best, 0)
             # insert: adjacent dedupe (keep last of each run; lane 127
             # always kept), duplicates after dedupe keep the OLD entry
             keep = np.ones(SEG, bool)

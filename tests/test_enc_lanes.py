@@ -34,12 +34,11 @@ def test_p1_matches_reference(seed):
     blocks = _mk_blocks(seed)
     w32i, meta = pack_blocks(blocks, CFG)
     import jax.numpy as jnp
-    packed = np.asarray(p1_call(jnp.asarray(w32i), jnp.asarray(meta),
-                                CFG, interpret=True))
+    from lizard_tpu.ops.enc_lanes import unpack_d16
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta),
+                     CFG, interpret=True)
     ref, _ = p1_reference(blocks, CFG)
-    # packed rows i*8+b -> (b, pos)
-    got = (packed.reshape(CFG.nseg, 8, 128).transpose(1, 0, 2)
-           .reshape(8, CFG.n).astype(np.int64) - 1)
+    got = unpack_d16(packed, CFG)
     for b in range(8):
         neq = np.nonzero(got[b] != ref[b])[0]
         assert neq.size == 0, (
@@ -52,22 +51,22 @@ def test_p1_candidates_are_real_matches():
     blocks = _mk_blocks(3)
     w32i, meta = pack_blocks(blocks, CFG)
     import jax.numpy as jnp
-    packed = np.asarray(p1_call(jnp.asarray(w32i), jnp.asarray(meta),
-                                CFG, interpret=True))
-    got = (packed.reshape(CFG.nseg, 8, 128).transpose(1, 0, 2)
-           .reshape(8, CFG.n).astype(np.int64) - 1)
+    from lizard_tpu.ops.enc_lanes import unpack_d16
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta),
+                     CFG, interpret=True)
+    got = unpack_d16(packed, CFG)
     for b, d in enumerate(blocks):
         u8 = np.zeros(CFG.n + 4, np.uint8)
         u8[:len(d)] = np.frombuffer(d, np.uint8)
-        c = got[b]
-        idx = np.nonzero(c >= 0)[0]
+        dm = got[b]
+        idx = np.nonzero(dm > 0)[0]
         if not idx.size:
             continue
-        off = idx - c[idx]
+        off = dm[idx]
         assert off.min() >= CFG.min_offset
         assert off.max() <= CFG.maxoff
         for r in range(4):
-            assert np.array_equal(u8[idx + r], u8[c[idx] + r])
+            assert np.array_equal(u8[idx + r], u8[idx - off + r])
 
 
 def test_passA_matches_reference():
@@ -189,3 +188,29 @@ def test_api_compress_tpu_backend():
     assert decompress(out, max_out=len(d)) == d
     with pytest.raises(ValueError):
         compress(d, level=25, backend="tpu")
+
+
+def test_token_overflow_falls_back():
+    """A token buffer too small for the parse must be detected (not
+    silently truncated) and the group re-encoded via the fallback."""
+    import dataclasses
+    import pytest
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.ops.enc_lanes import (encode_blocks_lanes, p1_call,
+                                          pA_call, unpack_token_arrays,
+                                          TokenOverflow)
+    tiny = dataclasses.replace(CFG, tok_rows=2)
+    from lizard_tpu.utils.datagen import gen
+    blocks = [gen(CFG.n, s, proba=0.7) for s in range(3)]
+    import jax.numpy as jnp
+    w32i, meta = pack_blocks(blocks, tiny)
+    pk = p1_call(jnp.asarray(w32i), jnp.asarray(meta), tiny,
+                 interpret=True)
+    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), tiny,
+                  interpret=True)
+    with pytest.raises(TokenOverflow):
+        unpack_token_arrays(tok, tiny)
+    encs = encode_blocks_lanes(blocks, level=10, cfg=tiny,
+                               interpret=True)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=len(d))) == d
