@@ -30,11 +30,11 @@ def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL,
         from lizard_tpu import runtime as _rt
         out = _rt.compress(data, level, max_out=max_out)
     elif backend == "tpu":
-        # Pallas lane pipeline (ops/enc_lanes.py); fastLZ4 family only —
-        # LIZv1/Huffman levels have no device encoder yet (use "native")
-        if not 10 <= level <= 19:
+        # Pallas lane pipeline (ops/enc_lanes.py); non-Huffman families —
+        # the Huffman levels have no device entropy encoder yet ("native")
+        if not 10 <= level <= 29:
             raise ValueError(
-                "backend='tpu' supports fastLZ4 levels 10-19 only")
+                "backend='tpu' supports levels 10-29 (fastLZ4/LIZv1)")
         from lizard_tpu.ops.enc_lanes import encode_streams_lanes
         out = encode_streams_lanes([data], level=level)[0]
     else:

@@ -254,17 +254,23 @@ def compress_frame_tpu(data: bytes, level: int = 11,
     pipeline (ops/encode_tpu.py). fastLZ4 levels (10-19) only — other
     families raise ValueError."""
     level = validate_level(level)
-    if not 10 <= level <= 19:
-        raise ValueError("compress_frame_tpu: fastLZ4 levels (10-19) only")
+    if not 10 <= level <= 29:
+        raise ValueError(
+            "compress_frame_tpu: non-Huffman levels (10-29) only")
     if engine is None:
         # Pallas kernels need a real TPU; the all-XLA pipeline runs
-        # anywhere (tests exercise it on the CPU backend)
+        # anywhere (tests exercise it on the CPU backend) but only
+        # serializes fastLZ4 — LIZv1 levels always take the lane path
+        # (interpret mode on CPU)
         import jax
-        engine = "lanes" if jax.default_backend() != "cpu" else "xla"
+        engine = ("lanes" if jax.default_backend() != "cpu"
+                  or level >= 20 else "xla")
     if engine == "lanes":
         from lizard_tpu.ops.enc_lanes import encode_streams_lanes
         encode_streams_tpu = encode_streams_lanes
     else:
+        if level >= 20:
+            raise ValueError("engine='xla' supports levels 10-19 only")
         from lizard_tpu.ops.encode_tpu import encode_streams_tpu
     if block_size_id == 0:
         block_size_id = 1

@@ -637,6 +637,104 @@ def emit_tokens(data: bytes, st, ml, off):
     return flags, out
 
 
+MAX_SHORT_LITLEN = 7           # LIZv1 token fields (lizard_common.h)
+MAX_SHORT_MATCHLEN = 15
+RUN_BITS_LIZ = 3
+
+
+def emit_tokens_liz(data: bytes, st, ml, off):
+    """LIZv1 serialization of a token list (lizard_compress_liz.h:43-165
+    for offsets < 64K; rep/off24 token classes are never needed because
+    the lane encoder's maxoff < 2^16). Returns (flags, lits, off16)
+    uint8 arrays; length extensions ride the literals stream and
+    offsets the off16 stream."""
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    nt = len(st)
+    if nt == 0:
+        return (np.zeros(0, np.uint8), src.copy(), np.zeros(0, np.uint8))
+    ends = st + ml
+    prev_end = np.empty(nt, np.int64)
+    prev_end[0] = 0
+    prev_end[1:] = ends[:-1]
+    ll = st - prev_end
+
+    flags = (np.minimum(ll, MAX_SHORT_LITLEN)
+             | (np.minimum(ml, MAX_SHORT_MATCHLEN) << RUN_BITS_LIZ)
+             ).astype(np.uint8)
+
+    vll = ll - MAX_SHORT_LITLEN
+    vml = ml - MAX_SHORT_MATCHLEN
+    ell = _ext_sizes(vll, ll >= MAX_SHORT_LITLEN)
+    eml = _ext_sizes(vml, ml >= MAX_SHORT_MATCHLEN)
+    tsz = ell + ll + eml
+    off_tok = np.zeros(nt + 1, np.int64)
+    np.cumsum(tsz, out=off_tok[1:])
+    tail_ll = n - ends[-1]
+    out = np.zeros(off_tok[-1] + tail_ll, np.uint8)
+
+    def put_ext(base, v, elen):
+        has = elen >= 1
+        b = base[has]
+        vv = v[has]
+        first = np.where(elen[has] == 1, vv,
+                         np.where(elen[has] == 3, 254, 255))
+        out[b] = first
+        m3 = elen >= 3
+        b3, v3 = base[m3], v[m3]
+        out[b3 + 1] = v3 & 255
+        out[b3 + 2] = (v3 >> 8) & 255
+        m4 = elen == 4
+        out[base[m4] + 3] = (v[m4] >> 16) & 255
+
+    put_ext(off_tok[:-1], vll, ell)
+    tot_l = int(ll.sum())
+    if tot_l:
+        cum = np.zeros(nt, np.int64)
+        np.cumsum(ll[:-1], out=cum[1:])
+        ar = np.arange(tot_l, dtype=np.int64) - np.repeat(cum, ll)
+        out[np.repeat(off_tok[:-1] + ell, ll) + ar] = \
+            src[np.repeat(prev_end, ll) + ar]
+    put_ext(off_tok[:-1] + ell + ll, vml, eml)
+    if tail_ll:
+        out[off_tok[-1]:] = src[ends[-1]:]
+
+    off16 = np.empty(nt * 2, np.uint8)
+    off16[0::2] = off & 255
+    off16[1::2] = (off >> 8) & 255
+    return flags, out, off16
+
+
+def _assemble_liz(data, flags, lits, off16):
+    """LIZv1 inner-block container (Lizard_writeBlock,
+    lizard_compress.c:186-250; stream order lens,off16,off24,flags,
+    literals; no Huffman for the 20-29 family)."""
+    from lizard_tpu.format.constants import FLAG_UNCOMPRESSED
+    body = bytearray()
+    body.append(0)
+    body += (0).to_bytes(3, "little")                 # lens: empty
+    body += len(off16).to_bytes(3, "little")
+    body += bytes(off16)
+    body += (0).to_bytes(3, "little")                 # off24: empty
+    body += len(flags).to_bytes(3, "little")
+    body += bytes(flags)
+    body += len(lits).to_bytes(3, "little")
+    body += bytes(lits)
+    sum_len = len(flags) + len(lits) + len(off16)
+    if (len(lits) < 16 or sum_len + 5 * 3 + 1 > len(data)
+            or _minimal_block_gain(len(body)) > len(data)):
+        out = bytearray([FLAG_UNCOMPRESSED])
+        out += len(data).to_bytes(3, "little")
+        out += data
+        return bytes(out)
+    return bytes(body)
+
+
+def _minimal_block_gain(comp_len):
+    from lizard_tpu.format.constants import minimal_block_gain
+    return minimal_block_gain(comp_len)
+
+
 def unpack_token_arrays(tok, cfg: EncCfg):
     """Host: tok array from pA_call -> 8 (st, ml, d) int64 array triples
     in parse order."""
@@ -664,8 +762,11 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
                         interpret=None):
     """Compress up-to-128 KB blocks with the Pallas lane pipeline
     (p1 match finder + pass-A parse on device, emission on host).
-    Returns one fastLZ4 container stream (level byte + inner block) per
-    input, decodable by liblizard and this repo's decoders."""
+    Levels 10-19 serialize fastLZ4 codewords, 20-29 LIZv1 (same parse;
+    the LIZv1 family's rep/off24 classes are unused because maxoff <
+    2^16 — output stays valid, ratio trades the reference's multi-MB
+    window). Returns one container stream (level byte + inner block)
+    per input, decodable by liblizard and this repo's decoders."""
     import jax
     import jax.numpy as jnp
     from lizard_tpu.ops.encode_tpu import _assemble
@@ -699,19 +800,26 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
             continue
         for k, d in enumerate(part):
             st, ml, off = arrs[k]
-            flags, lits = emit_tokens(d, st, ml, off)
-            res[base + k] = _assemble(d, flags, len(flags), lits,
-                                      len(lits))
+            if level >= 20:
+                flags, lits, off16 = emit_tokens_liz(d, st, ml, off)
+                res[base + k] = _assemble_liz(d, flags, lits, off16)
+            else:
+                flags, lits = emit_tokens(d, st, ml, off)
+                res[base + k] = _assemble(d, flags, len(flags), lits,
+                                          len(lits))
     return [bytes([level]) + b for b in res]
 
 
 def _fallback_inner(d, level):
-    """One inner block via the native encoder (or the XLA pipeline when
-    the native runtime is unavailable)."""
+    """One inner block via the native encoder (or, when the native
+    runtime is unavailable, the XLA pipeline / scalar oracle)."""
     try:
         from lizard_tpu import runtime
         return runtime.compress(d, level)[1:]
     except Exception:
+        if level >= 20:
+            from lizard_tpu.ref.block_encode import compress
+            return compress(d, level)[1:]
         from lizard_tpu.ops.encode_tpu import encode_blocks_tpu
         return encode_blocks_tpu([d], level=level)[0][1:]
 

@@ -186,8 +186,10 @@ def test_api_compress_tpu_backend():
     d = gen(50000, 17, proba=0.6)
     out = compress(d, level=11, backend="tpu")
     assert decompress(out, max_out=len(d)) == d
+    out = compress(d, level=25, backend="tpu")
+    assert decompress(out, max_out=len(d)) == d
     with pytest.raises(ValueError):
-        compress(d, level=25, backend="tpu")
+        compress(d, level=35, backend="tpu")
 
 
 def test_token_overflow_falls_back():
@@ -214,3 +216,32 @@ def test_token_overflow_falls_back():
                                interpret=True)
     for d, e in zip(blocks, encs):
         assert bytes(decompress(e, max_out=len(d))) == d
+
+
+def test_lane_encode_liz_roundtrip():
+    """Levels 20-29 serialize LIZv1 codewords from the same parse."""
+    from lizard_tpu.ref.block_decode import decompress
+    blocks = _mk_blocks(41)
+    encs = _lane_encode(blocks, level=21)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+def test_lane_encode_liz_liblizard_interop():
+    import pytest
+    oracle = pytest.importorskip("tests.oracle")
+    oracle.require_oracle()
+    o = oracle.Oracle(oracle._load())
+    from lizard_tpu.utils.datagen import gen, text_like
+    for d in (gen(CFG.n, 8, proba=0.65), text_like(CFG.n, 9),
+              b"0123456789abcdef" * 512):
+        e = _lane_encode([d], level=22)[0]
+        assert o.decompress(e, len(d)) == d
+
+
+def test_frame_roundtrip_liz_lanes():
+    from lizard_tpu.frame import compress_frame_tpu, decompress_frame
+    from lizard_tpu.utils.datagen import gen
+    d = gen(50000, 29, proba=0.6)
+    f = compress_frame_tpu(d, level=24)
+    assert decompress_frame(f) == d

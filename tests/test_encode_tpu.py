@@ -74,10 +74,12 @@ def test_frame_roundtrip():
     assert decompress_frame(f) == d
 
 
-def test_frame_rejects_non_fastlz4_levels():
+def test_frame_rejects_unsupported_levels():
     from lizard_tpu.frame import compress_frame_tpu
     with pytest.raises(ValueError):
-        compress_frame_tpu(b"x" * 100, 21)
+        compress_frame_tpu(b"x" * 100, 31)       # Huffman family
+    with pytest.raises(ValueError):
+        compress_frame_tpu(b"x" * 100, 21, engine="xla")  # LIZv1 on xla
 
 
 def test_liblizard_interop():
