@@ -644,10 +644,12 @@ RUN_BITS_LIZ = 3
 
 def emit_tokens_liz(data: bytes, st, ml, off):
     """LIZv1 serialization of a token list (lizard_compress_liz.h:43-165
-    for offsets < 64K; rep/off24 token classes are never needed because
-    the lane encoder's maxoff < 2^16). Returns (flags, lits, off16)
-    uint8 arrays; length extensions ride the literals stream and
-    offsets the off16 stream."""
+    for offsets < 64K; the off24 class is never needed because the lane
+    encoder's maxoff < 2^16). Tokens repeating the previous offset use
+    the rep class (bit 7, zero offset bytes — last_off carries, so runs
+    of equal offsets all collapse). Returns (flags, lits, off16) uint8
+    arrays; length extensions ride the literals stream and offsets the
+    off16 stream."""
     n = len(data)
     src = np.frombuffer(data, np.uint8)
     nt = len(st)
@@ -659,9 +661,12 @@ def emit_tokens_liz(data: bytes, st, ml, off):
     prev_end[1:] = ends[:-1]
     ll = st - prev_end
 
+    rep = np.zeros(nt, bool)
+    rep[1:] = off[1:] == off[:-1]        # last_off persists across reps
+
     flags = (np.minimum(ll, MAX_SHORT_LITLEN)
              | (np.minimum(ml, MAX_SHORT_MATCHLEN) << RUN_BITS_LIZ)
-             ).astype(np.uint8)
+             | (rep << (RUN_BITS_LIZ + 4))).astype(np.uint8)
 
     vll = ll - MAX_SHORT_LITLEN
     vml = ml - MAX_SHORT_MATCHLEN
@@ -699,9 +704,10 @@ def emit_tokens_liz(data: bytes, st, ml, off):
     if tail_ll:
         out[off_tok[-1]:] = src[ends[-1]:]
 
-    off16 = np.empty(nt * 2, np.uint8)
-    off16[0::2] = off & 255
-    off16[1::2] = (off >> 8) & 255
+    offs = off[~rep]
+    off16 = np.empty(len(offs) * 2, np.uint8)
+    off16[0::2] = offs & 255
+    off16[1::2] = (offs >> 8) & 255
     return flags, out, off16
 
 
