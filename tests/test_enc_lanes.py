@@ -245,3 +245,32 @@ def test_frame_roundtrip_liz_lanes():
     d = gen(50000, 29, proba=0.6)
     f = compress_frame_tpu(d, level=24)
     assert decompress_frame(f) == d
+
+
+def test_p1_far_reach_64k_cfg():
+    """Exercises the dynamic-reach verify far loop: matches ~20-30 KB
+    back under a 64K-class maxoff."""
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import unpack_d16
+    cfg = EncCfg(n=32768, hl=11, maxoff=30000,
+                 probes=(8, 16, 64, 256, 1024))
+    from lizard_tpu.utils.datagen import gen
+    rng = np.random.default_rng(3)
+    chunk = gen(9000, 77, proba=0.5)
+    filler = bytes(rng.integers(0, 256, 12000, dtype=np.uint8))
+    blocks = [chunk + filler + chunk,                  # match 21000 back
+              gen(cfg.n, 5, proba=0.6), b"", b"", b"", b"", b"", b""]
+    w32i, meta = pack_blocks(blocks, cfg)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                     interpret=True)
+    got = unpack_d16(packed, cfg)
+    ref, _ = p1_reference(blocks, cfg)
+    assert np.array_equal(got[0], ref[0]) and np.array_equal(got[1], ref[1])
+    assert (ref[0] > 16384).any()          # far candidates really exist
+    # and the full pipeline round-trips at a 64K level
+    from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+    from lizard_tpu.ref.block_decode import decompress
+    e = encode_blocks_lanes([blocks[0]], level=11, cfg=cfg,
+                            interpret=True)[0]
+    assert bytes(decompress(e, max_out=len(blocks[0]))) == blocks[0]
+    assert len(e) < 0.75 * len(blocks[0])  # the far match was used
