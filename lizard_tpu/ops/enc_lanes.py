@@ -323,6 +323,9 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
 TPR = 42                      # tokens (iteration slots) per output row
 ENC_NEAR = 4                  # source tiles always chained (d <= 2 KB+)
 
+import os as _os                                            # noqa: E402
+_ENC_ABL = _os.environ.get("LANE_ENC_ABL", "")  # "chain" = ablation
+
 
 def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                w32, cand, tok, sems):
@@ -397,38 +400,74 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             d_tok = jnp.where(ap, pd, d_new)
             rel0 = jnp.where(ap, 0, sidx)
 
-            # ---- source bytes at p - d_tok: near chain + far loop ----
+            # ---- source bytes at p - d_tok ---------------------------
             y = p - d_tok
             wi = y >> 2
-            wt = wi >> 7
-            wtp = (wi + 1) >> 7
-            lo = z
-            hi = z
-            Ttop = i >> 2
-            for k in range(ENC_NEAR + 1):
-                t_un = Ttop - k
-                tc = jnp.maximum(t_un, 0)
-                tile = w32[pl.ds(tc * 8, 8)]
-                glo = _take(tile, wi & 127)
-                ghi = _take(tile, (wi + 1) & 127)
-                lo = jnp.where(wt == t_un, glo, lo)
-                hi = jnp.where(wtp == t_un, ghi, hi)
+            if _ENC_ABL == "chain":
+                # dynamic-reach chain (ablation variant): cost scales
+                # with the iteration's farthest offset — loses badly
+                # once 64 KB offsets are common
+                wt = wi >> 7
+                wtp = (wi + 1) >> 7
+                lo = z
+                hi = z
+                Ttop = i >> 2
+                for k in range(ENC_NEAR + 1):
+                    t_un = Ttop - k
+                    tc = jnp.maximum(t_un, 0)
+                    tile = w32[pl.ds(tc * 8, 8)]
+                    glo = _take(tile, wi & 127)
+                    ghi = _take(tile, (wi + 1) & 127)
+                    lo = jnp.where(wt == t_un, glo, lo)
+                    hi = jnp.where(wtp == t_un, ghi, hi)
 
-            dmax = jnp.max(jnp.where(active, d_tok, 0))
-            tmin = (X0 - dmax) >> 9
-            kfar = jnp.maximum((Ttop - tmin) - ENC_NEAR, 0)
+                dmax = jnp.max(jnp.where(active, d_tok, 0))
+                tmin = (X0 - dmax) >> 9
+                kfar = jnp.maximum((Ttop - tmin) - ENC_NEAR, 0)
 
-            def far(q, lh):
-                lo, hi = lh
-                t_un = Ttop - (ENC_NEAR + 1) - q
-                tc = jnp.maximum(t_un, 0)
-                tile = w32[pl.ds(tc * 8, 8)]
-                glo = _take(tile, wi & 127)
-                ghi = _take(tile, (wi + 1) & 127)
-                return (jnp.where(wt == t_un, glo, lo),
-                        jnp.where(wtp == t_un, ghi, hi))
+                def far(q, lh):
+                    lo, hi = lh
+                    t_un = Ttop - (ENC_NEAR + 1) - q
+                    tc = jnp.maximum(t_un, 0)
+                    tile = w32[pl.ds(tc * 8, 8)]
+                    glo = _take(tile, wi & 127)
+                    ghi = _take(tile, (wi + 1) & 127)
+                    return (jnp.where(wt == t_un, glo, lo),
+                            jnp.where(wtp == t_un, ghi, hi))
 
-            lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
+                lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
+            else:
+                # constant-cost per-sublane fetch: each sublane's 128
+                # source bytes span <= 2 word tiles; extract the tile
+                # index as a scalar (8 lane-then-sublane reduces) and
+                # read both rows directly
+                l1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                lo = z
+                hi = z
+                for b in range(8):
+                    db = jnp.max(jax.lax.slice(d_tok, (b, 0), (b + 1, 1)))
+                    y0 = X0 - db
+                    y0c = jnp.maximum(y0, 0)
+                    t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
+                    rA = w32[pl.ds(t0s * 8 + b, 1)]
+                    rB = w32[pl.ds(jnp.minimum(t0s + 1, cfg.wtiles)
+                                   * 8 + b, 1)]
+                    # rel = word(y0+l) - t0s*128, exact for lanes with
+                    # y0+l >= 0 (the only ones the mismatch mask reads);
+                    # negative-y lanes floor below 0 and clip to garbage
+                    rel = (y0c >> 2) - t0s * 128 + \
+                        ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4
+                    gA = _take(rA, jnp.clip(rel, 0, 127))
+                    gB = _take(rB, jnp.clip(rel - 128, 0, 127))
+                    sl = jnp.where(rel < 128, gA, gB)
+                    relh = rel + 1
+                    gA2 = _take(rA, jnp.clip(relh, 0, 127))
+                    gB2 = _take(rB, jnp.clip(relh - 128, 0, 127))
+                    sh_ = jnp.where(relh < 128, gA2, gB2)
+                    lo = jnp.where(sub == b, jnp.broadcast_to(sl, (8, 128)),
+                                   lo)
+                    hi = jnp.where(sub == b, jnp.broadcast_to(sh_, (8, 128)),
+                                   hi)
             shs = (y & 3) << 3
             w8s = (_shr(lo.astype(jnp.uint32), shs)
                    | jnp.where(shs == 0, jnp.uint32(0),
