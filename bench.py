@@ -246,11 +246,11 @@ def bench_encode_lanes(data, seconds):
     the end-to-end ratio through host emission."""
     import numpy as np
     import jax.numpy as jnp
-    from lizard_tpu.ops.enc_lanes import (EncCfg, p1_call, pA_call,
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call, pA_call,
                                           pack_blocks,
                                           encode_blocks_lanes)
 
-    cfg = EncCfg()
+    cfg = cfg_for_level(11)       # 64 KB reach, the production default
     N = cfg.n
     blocks = [data[i:i + N] for i in range(0, len(data), N)]
     groups = []
@@ -278,7 +278,7 @@ def bench_encode_lanes(data, seconds):
     tok.block_until_ready()
     dt = time.perf_counter() - t0
 
-    comp = encode_blocks_lanes(blocks[:32], level=10)
+    comp = encode_blocks_lanes(blocks[:32], level=11)
     ratio = sum(map(len, comp)) / sum(len(b) for b in blocks[:32])
     # round-trip spot check
     from lizard_tpu.ref.block_decode import decompress

@@ -58,3 +58,38 @@ def test_production_geometry_ragged():
     outs = decompress_lanes(streams)
     for want, got in zip(datas, outs):
         assert got == want
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+@pytest.mark.parametrize("level", (10, 11, 21))
+def test_encoder_production_parity(level):
+    """Pass A on the real chip at production geometry (128 KB blocks,
+    64 KB reach for 11+) must emit exactly the mirror's token lists and
+    the streams must round-trip."""
+    import jax.numpy as jnp
+    import numpy as np
+    from bench import build_corpus
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call, pA_call,
+                                          pack_blocks, unpack_tokens,
+                                          p2_reference, p1_reference,
+                                          unpack_d16,
+                                          encode_blocks_lanes)
+    from lizard_tpu.ref.block_decode import decompress
+
+    cfg = cfg_for_level(level)
+    data = build_corpus(8 * cfg.n)
+    blocks = [data[i:i + cfg.n] for i in range(0, len(data), cfg.n)][:8]
+    w32i, meta = pack_blocks(blocks, cfg)
+    pk = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg)
+    got_d = unpack_d16(pk, cfg)
+    ref_d, _ = p1_reference(blocks, cfg)
+    assert np.array_equal(got_d, ref_d), "p1 hardware != mirror"
+    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg)
+    got = unpack_tokens(tok, cfg)
+    want = p2_reference(blocks, cfg, dmap=ref_d)
+    for b in range(8):
+        assert got[b] == want[b], f"passA hardware != mirror, block {b}"
+    encs = encode_blocks_lanes(blocks, level=level, cfg=cfg,
+                               interpret=False)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=len(d))) == d
