@@ -30,11 +30,10 @@ def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL,
         from lizard_tpu import runtime as _rt
         out = _rt.compress(data, level, max_out=max_out)
     elif backend == "tpu":
-        # Pallas lane pipeline (ops/enc_lanes.py); non-Huffman families —
-        # the Huffman levels have no device entropy encoder yet ("native")
-        if not 10 <= level <= 29:
-            raise ValueError(
-                "backend='tpu' supports levels 10-29 (fastLZ4/LIZv1)")
+        # Pallas lane pipeline (ops/enc_lanes.py), all four families;
+        # the Huffman families' entropy stage runs native on host
+        if not 10 <= level <= 49:
+            raise ValueError("backend='tpu' supports levels 10-49")
         from lizard_tpu.ops.enc_lanes import encode_streams_lanes
         out = encode_streams_lanes([data], level=level)[0]
     else:

@@ -251,12 +251,9 @@ def compress_frame_tpu(data: bytes, level: int = 11,
     device pipeline in one go. engine="lanes" (default) uses the Pallas
     lane pipeline (ops/enc_lanes.py: p1 match finder + pass-A parse on
     device, host emission); engine="xla" keeps the all-XLA reference
-    pipeline (ops/encode_tpu.py). fastLZ4 levels (10-19) only — other
-    families raise ValueError."""
+    pipeline (ops/encode_tpu.py, fastLZ4 levels only). The lanes
+    engine covers all four level families (10-49)."""
     level = validate_level(level)
-    if not 10 <= level <= 29:
-        raise ValueError(
-            "compress_frame_tpu: non-Huffman levels (10-29) only")
     if engine is None:
         # Pallas kernels need a real TPU; the all-XLA pipeline runs
         # anywhere (tests exercise it on the CPU backend) but only

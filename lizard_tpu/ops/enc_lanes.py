@@ -769,29 +769,49 @@ def emit_tokens_liz(data: bytes, st, ml, off):
     return flags, out, off16
 
 
-def _assemble_liz(data, flags, lits, off16):
-    """LIZv1 inner-block container (Lizard_writeBlock,
-    lizard_compress.c:186-250; stream order lens,off16,off24,flags,
-    literals; no Huffman for the 20-29 family)."""
-    from lizard_tpu.format.constants import FLAG_UNCOMPRESSED
+def assemble_block(data, flags, lits, off16=b"", huff=False):
+    """Inner-block container (Lizard_writeBlock + Lizard_writeStream,
+    lizard_compress.c:141-250): header byte of per-stream huff bits,
+    streams in lens/off16/off24/flags/literals order, Huffman applied
+    to flags+literals when huff=True and the reference's gain gates
+    pass, uncompressed fallback on insufficient total gain."""
+    from lizard_tpu.format.constants import (
+        FLAG_UNCOMPRESSED, FLAG_FLAGS, FLAG_LITERALS,
+        minimal_huff_gain, minimal_block_gain)
+
+    def write_stream(out, stream, use_huff):
+        if use_huff and len(stream) > 1024:
+            from lizard_tpu import runtime
+            comp = runtime.huf_compress(bytes(stream))
+            if (comp is not None and len(comp) > 0
+                    and minimal_huff_gain(len(comp)) < len(stream)):
+                out += len(stream).to_bytes(3, "little")
+                out += len(comp).to_bytes(3, "little")
+                out += comp
+                return 1
+        out += len(stream).to_bytes(3, "little")
+        out += bytes(stream)
+        return 0
+
     body = bytearray()
     body.append(0)
-    body += (0).to_bytes(3, "little")                 # lens: empty
-    body += len(off16).to_bytes(3, "little")
-    body += bytes(off16)
-    body += (0).to_bytes(3, "little")                 # off24: empty
-    body += len(flags).to_bytes(3, "little")
-    body += bytes(flags)
-    body += len(lits).to_bytes(3, "little")
-    body += bytes(lits)
+    write_stream(body, b"", False)                    # lens: empty
+    body[0] += write_stream(body, bytes(off16), False) * 4
+    write_stream(body, b"", False)                    # off24: empty
+    body[0] += write_stream(body, bytes(flags), huff) * FLAG_FLAGS
+    body[0] += write_stream(body, bytes(lits), huff) * FLAG_LITERALS
     sum_len = len(flags) + len(lits) + len(off16)
     if (len(lits) < 16 or sum_len + 5 * 3 + 1 > len(data)
-            or _minimal_block_gain(len(body)) > len(data)):
+            or minimal_block_gain(len(body)) > len(data)):
         out = bytearray([FLAG_UNCOMPRESSED])
         out += len(data).to_bytes(3, "little")
         out += data
         return bytes(out)
     return bytes(body)
+
+
+def _assemble_liz(data, flags, lits, off16, huff=False):
+    return assemble_block(data, flags, lits, off16, huff)
 
 
 def _minimal_block_gain(comp_len):
@@ -836,14 +856,15 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
                         interpret=None):
     """Compress up-to-128 KB blocks with the Pallas lane pipeline
     (p1 match finder + pass-A parse on device, emission on host).
-    Levels 10-19 serialize fastLZ4 codewords, 20-29 LIZv1 (same parse;
-    the LIZv1 family's rep/off24 classes are unused because maxoff <
-    2^16 — output stays valid, ratio trades the reference's multi-MB
-    window). Returns one container stream (level byte + inner block)
-    per input, decodable by liblizard and this repo's decoders."""
+    All four level families: 10-19 fastLZ4, 20-29 LIZv1, 30-39
+    fastLZ4+Huffman, 40-49 LIZv1+Huffman (same parse; the entropy stage
+    runs through the native Huff0 encoder on host; the LIZv1 off24
+    class is unused because maxoff < 2^16 — output stays valid, ratio
+    trades the reference's multi-MB window). Returns one container
+    stream (level byte + inner block) per input, decodable by liblizard
+    and this repo's decoders."""
     import jax
     import jax.numpy as jnp
-    from lizard_tpu.ops.encode_tpu import _assemble
     if cfg is None:
         cfg = cfg_for_level(level)
     if interpret is None:      # Pallas needs a real TPU; CPU interprets
@@ -872,15 +893,17 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
             for k, d in enumerate(part):
                 res[base + k] = _fallback_inner(d, level)
             continue
+        fam = level // 10
         for k, d in enumerate(part):
             st, ml, off = arrs[k]
-            if level >= 20:
+            if fam in (2, 4):                  # LIZv1 codewords
                 flags, lits, off16 = emit_tokens_liz(d, st, ml, off)
-                res[base + k] = _assemble_liz(d, flags, lits, off16)
-            else:
+                res[base + k] = assemble_block(d, flags, lits, off16,
+                                               huff=(fam == 4))
+            else:                              # fastLZ4 codewords
                 flags, lits = emit_tokens(d, st, ml, off)
-                res[base + k] = _assemble(d, flags, len(flags), lits,
-                                          len(lits))
+                res[base + k] = assemble_block(d, flags, lits, b"",
+                                               huff=(fam == 3))
     return [bytes([level]) + b for b in res]
 
 

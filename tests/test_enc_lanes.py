@@ -188,8 +188,10 @@ def test_api_compress_tpu_backend():
     assert decompress(out, max_out=len(d)) == d
     out = compress(d, level=25, backend="tpu")
     assert decompress(out, max_out=len(d)) == d
+    out = compress(d, level=35, backend="tpu")
+    assert decompress(out, max_out=len(d)) == d
     with pytest.raises(ValueError):
-        compress(d, level=35, backend="tpu")
+        compress(d, level=55, backend="tpu")
 
 
 def test_token_overflow_falls_back():
@@ -274,3 +276,31 @@ def test_p1_far_reach_64k_cfg():
                             interpret=True)[0]
     assert bytes(decompress(e, max_out=len(blocks[0]))) == blocks[0]
     assert len(e) < 0.75 * len(blocks[0])  # the far match was used
+
+
+def test_lane_encode_huffman_families():
+    """Levels 30-49 add the Huff0 entropy stage over the same parse."""
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.utils.datagen import gen, text_like
+    blocks = [text_like(CFG.n, 51), gen(CFG.n, 52, proba=0.7)]
+    sizes = {}
+    for level in (11, 31, 21, 41):
+        encs = _lane_encode(blocks, level=level)
+        for d, e in zip(blocks, encs):
+            assert bytes(decompress(e, max_out=len(d))) == d
+        sizes[level] = sum(map(len, encs))
+    # the entropy stage must help on text-heavy input
+    assert sizes[31] < sizes[11]
+    assert sizes[41] < sizes[21]
+
+
+def test_lane_encode_huffman_interop():
+    import pytest
+    oracle = pytest.importorskip("tests.oracle")
+    oracle.require_oracle()
+    o = oracle.Oracle(oracle._load())
+    from lizard_tpu.utils.datagen import text_like
+    d = text_like(CFG.n, 53)
+    for level in (35, 45):
+        e = _lane_encode([d], level=level)[0]
+        assert o.decompress(e, len(d)) == d

@@ -77,7 +77,7 @@ def test_frame_roundtrip():
 def test_frame_rejects_unsupported_levels():
     from lizard_tpu.frame import compress_frame_tpu
     with pytest.raises(ValueError):
-        compress_frame_tpu(b"x" * 100, 31)       # Huffman family
+        compress_frame_tpu(b"x" * 100, 50)       # out of range
     with pytest.raises(ValueError):
         compress_frame_tpu(b"x" * 100, 21, engine="xla")  # LIZv1 on xla
 
