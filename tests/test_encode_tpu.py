@@ -74,10 +74,11 @@ def test_frame_roundtrip():
     assert decompress_frame(f) == d
 
 
-def test_frame_rejects_unsupported_levels():
-    from lizard_tpu.frame import compress_frame_tpu
-    with pytest.raises(ValueError):
-        compress_frame_tpu(b"x" * 100, 50)       # out of range
+def test_frame_level_clamp_and_engine_guard():
+    from lizard_tpu.frame import compress_frame_tpu, decompress_frame
+    # out-of-range levels clamp (Lizard_verifyCompressionLevel)
+    f = compress_frame_tpu(b"x" * 100, 50)
+    assert decompress_frame(f) == b"x" * 100
     with pytest.raises(ValueError):
         compress_frame_tpu(b"x" * 100, 21, engine="xla")  # LIZv1 on xla
 
