@@ -258,9 +258,9 @@ def _do_file_compress(opts, src_path):
             raise SystemExit("lizard: --content-size needs a seekable input")
         content_size = os.stat(src_path).st_size
 
-    if (opts.backend == "tpu" and not opts.block_linked
-            and 10 <= level <= 19):
-        # whole-buffer TPU pipeline (ops/encode_tpu.py); fastLZ4 only
+    if opts.backend == "tpu" and not opts.block_linked:
+        # whole-buffer TPU lane pipeline (ops/enc_lanes.py), all four
+        # level families
         from lizard_tpu.frame import compress_frame_tpu
         data = src.read()
         if src_path != "-":
