@@ -72,6 +72,7 @@ class EncCfg:
                      384, 512, 768, 1024)
     tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
                               # overflow -> host fallback, see pass A)
+    lazy: bool = False        # one-step lazy match selection (pass A)
 
     @property
     def nw(self):
@@ -400,81 +401,124 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             d_tok = jnp.where(ap, pd, d_new)
             rel0 = jnp.where(ap, 0, sidx)
 
-            # ---- source bytes at p - d_tok ---------------------------
-            y = p - d_tok
-            wi = y >> 2
-            if _ENC_ABL == "chain":
-                # dynamic-reach chain (ablation variant): cost scales
-                # with the iteration's farthest offset — loses badly
-                # once 64 KB offsets are common
-                wt = wi >> 7
-                wtp = (wi + 1) >> 7
-                lo = z
-                hi = z
-                Ttop = i >> 2
-                for k in range(ENC_NEAR + 1):
-                    t_un = Ttop - k
-                    tc = jnp.maximum(t_un, 0)
-                    tile = w32[pl.ds(tc * 8, 8)]
-                    glo = _take(tile, wi & 127)
-                    ghi = _take(tile, (wi + 1) & 127)
-                    lo = jnp.where(wt == t_un, glo, lo)
-                    hi = jnp.where(wtp == t_un, ghi, hi)
+            # ---- eq-row machinery (factored: lazy evaluates two) -----
+            def fetch(d_tok, active):
+                """xor of the segment's words vs bytes at (p - d_tok)."""
+                y = p - d_tok
+                wi = y >> 2
+                if _ENC_ABL == "chain":
+                    # dynamic-reach chain (ablation variant): cost
+                    # scales with the farthest offset
+                    wt = wi >> 7
+                    wtp = (wi + 1) >> 7
+                    lo = z
+                    hi = z
+                    Ttop = i >> 2
+                    for k in range(ENC_NEAR + 1):
+                        t_un = Ttop - k
+                        tc = jnp.maximum(t_un, 0)
+                        tile = w32[pl.ds(tc * 8, 8)]
+                        glo = _take(tile, wi & 127)
+                        ghi = _take(tile, (wi + 1) & 127)
+                        lo = jnp.where(wt == t_un, glo, lo)
+                        hi = jnp.where(wtp == t_un, ghi, hi)
+                    dmax = jnp.max(jnp.where(active, d_tok, 0))
+                    tmin = (X0 - dmax) >> 9
+                    kfar = jnp.maximum((Ttop - tmin) - ENC_NEAR, 0)
 
-                dmax = jnp.max(jnp.where(active, d_tok, 0))
-                tmin = (X0 - dmax) >> 9
-                kfar = jnp.maximum((Ttop - tmin) - ENC_NEAR, 0)
+                    def far(q, lh):
+                        lo, hi = lh
+                        t_un = Ttop - (ENC_NEAR + 1) - q
+                        tc = jnp.maximum(t_un, 0)
+                        tile = w32[pl.ds(tc * 8, 8)]
+                        glo = _take(tile, wi & 127)
+                        ghi = _take(tile, (wi + 1) & 127)
+                        return (jnp.where(wt == t_un, glo, lo),
+                                jnp.where(wtp == t_un, ghi, hi))
 
-                def far(q, lh):
-                    lo, hi = lh
-                    t_un = Ttop - (ENC_NEAR + 1) - q
-                    tc = jnp.maximum(t_un, 0)
-                    tile = w32[pl.ds(tc * 8, 8)]
-                    glo = _take(tile, wi & 127)
-                    ghi = _take(tile, (wi + 1) & 127)
-                    return (jnp.where(wt == t_un, glo, lo),
-                            jnp.where(wtp == t_un, ghi, hi))
+                    lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
+                else:
+                    # constant-cost per-sublane fetch: each sublane's
+                    # 128 source bytes span <= 2 word tiles; extract the
+                    # tile index as a scalar and read both rows directly
+                    l1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    lo = z
+                    hi = z
+                    for b in range(8):
+                        db = jnp.max(jax.lax.slice(d_tok, (b, 0),
+                                                   (b + 1, 1)))
+                        y0 = X0 - db
+                        y0c = jnp.maximum(y0, 0)
+                        t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
+                        rA = w32[pl.ds(t0s * 8 + b, 1)]
+                        rB = w32[pl.ds(jnp.minimum(t0s + 1, cfg.wtiles)
+                                       * 8 + b, 1)]
+                        # rel = word(y0+l) - t0s*128, exact for lanes
+                        # with y0+l >= 0 (the only ones the masks read);
+                        # negative-y lanes floor below 0 -> garbage
+                        rel = (y0c >> 2) - t0s * 128 + \
+                            ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4
+                        gA = _take(rA, jnp.clip(rel, 0, 127))
+                        gB = _take(rB, jnp.clip(rel - 128, 0, 127))
+                        sl = jnp.where(rel < 128, gA, gB)
+                        relh = rel + 1
+                        gA2 = _take(rA, jnp.clip(relh, 0, 127))
+                        gB2 = _take(rB, jnp.clip(relh - 128, 0, 127))
+                        sh_ = jnp.where(relh < 128, gA2, gB2)
+                        lo = jnp.where(sub == b,
+                                       jnp.broadcast_to(sl, (8, 128)), lo)
+                        hi = jnp.where(sub == b,
+                                       jnp.broadcast_to(sh_, (8, 128)), hi)
+                shs = (y & 3) << 3
+                w8s = (_shr(lo.astype(jnp.uint32), shs)
+                       | jnp.where(shs == 0, jnp.uint32(0),
+                                   _shl(hi.astype(jnp.uint32),
+                                        (32 - shs) & 31)))
+                return (w8c ^ w8s).astype(jnp.int32)
 
-                lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
-            else:
-                # constant-cost per-sublane fetch: each sublane's 128
-                # source bytes span <= 2 word tiles; extract the tile
-                # index as a scalar (8 lane-then-sublane reduces) and
-                # read both rows directly
-                l1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                lo = z
-                hi = z
-                for b in range(8):
-                    db = jnp.max(jax.lax.slice(d_tok, (b, 0), (b + 1, 1)))
-                    y0 = X0 - db
-                    y0c = jnp.maximum(y0, 0)
-                    t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
-                    rA = w32[pl.ds(t0s * 8 + b, 1)]
-                    rB = w32[pl.ds(jnp.minimum(t0s + 1, cfg.wtiles)
-                                   * 8 + b, 1)]
-                    # rel = word(y0+l) - t0s*128, exact for lanes with
-                    # y0+l >= 0 (the only ones the mismatch mask reads);
-                    # negative-y lanes floor below 0 and clip to garbage
-                    rel = (y0c >> 2) - t0s * 128 + \
-                        ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4
-                    gA = _take(rA, jnp.clip(rel, 0, 127))
-                    gB = _take(rB, jnp.clip(rel - 128, 0, 127))
-                    sl = jnp.where(rel < 128, gA, gB)
-                    relh = rel + 1
-                    gA2 = _take(rA, jnp.clip(relh, 0, 127))
-                    gB2 = _take(rB, jnp.clip(relh - 128, 0, 127))
-                    sh_ = jnp.where(relh < 128, gA2, gB2)
-                    lo = jnp.where(sub == b, jnp.broadcast_to(sl, (8, 128)),
-                                   lo)
-                    hi = jnp.where(sub == b, jnp.broadcast_to(sh_, (8, 128)),
-                                   hi)
-            shs = (y & 3) << 3
-            w8s = (_shr(lo.astype(jnp.uint32), shs)
-                   | jnp.where(shs == 0, jnp.uint32(0),
-                               _shl(hi.astype(jnp.uint32), (32 - shs) & 31)))
+            def evalcand(xor, s_t, rel_t, act):
+                mm = (xor != 0) | (p >= limv)
+                xm = mm & (lanes >= rel_t) & act
+                xim = jnp.where(xm, lanes, 999)
+                xi = jnp.broadcast_to(
+                    jnp.min(xim, axis=1, keepdims=True), (8, 128))
+                xv = _take(xor, jnp.clip(xi, 0, 127))
+                tz = jnp.where((xv & 0xFF) != 0, 0,
+                               jnp.where((xv & 0xFFFF) != 0, 1,
+                                         jnp.where((xv & 0xFFFFFF) != 0,
+                                                   2, 3)))
+                ml = jnp.minimum((X0 + xi) - s_t + tz, limv - s_t)
+                surv = act & (xi >= 999)
+                return xi, ml, surv
 
-            # ---- mismatch search ----
-            xor = (w8c ^ w8s).astype(jnp.int32)
+            xor = fetch(d_tok, active)
+            xi, ml, survived = evalcand(xor, s_tok, rel0, active)
+
+            if cfg.lazy:
+                # one-step lazy (the fast parser's retry,
+                # lizard_parser_fast.h:146-181 analog): if position s+1
+                # also has a candidate, take it iff its kernel-visible
+                # length beats this one's by > 1; a segment-surviving
+                # row competes with its guaranteed lower bound
+                rel2 = jnp.minimum(sidx + 1, 127)
+                d2 = _take(drow, rel2)
+                has2 = aq & (sidx < 127) & (d2 > 0)
+                xor2 = fetch(d2, has2)
+                s2 = X0 + rel2
+                xi2, ml2, surv2 = evalcand(xor2, s2, rel2, has2)
+                v1 = jnp.where(survived, (128 - rel0) + 3, ml)
+                v2 = jnp.where(surv2, (128 - rel2) + 3,
+                               jnp.where(has2, ml2, -1))
+                take2 = has2 & (v2 > v1 + 1)
+                s_tok = jnp.where(take2, s2, s_tok)
+                d_tok = jnp.where(take2, d2, d_tok)
+                rel0 = jnp.where(take2, rel2, rel0)
+                xor = jnp.where(take2, xor2, xor)
+                xi = jnp.where(take2, xi2, xi)
+                ml = jnp.where(take2, ml2, ml)
+                survived = jnp.where(take2, surv2, survived)
+
+            found = active & ~survived
 
             # back-extension (lizard_parser_fast.h:102): consecutive
             # byte-equal lanes immediately below the match start, floored
@@ -487,23 +531,10 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             back = jnp.where(aq, jnp.maximum(rel0 - jnp.maximum(
                 bidx + 1, bmin), 0), 0)
             s_tok = s_tok - back
-
-            mm = (xor != 0) | (p >= limv)
-            xm = mm & (lanes >= rel0) & active
-            xim = jnp.where(xm, lanes, 999)
-            xi = jnp.broadcast_to(jnp.min(xim, axis=1, keepdims=True),
-                                  (8, 128))
-            found = active & (xi < 999)
-
-            xv = _take(xor, jnp.clip(xi, 0, 127))
-            tz = jnp.where((xv & 0xFF) != 0, 0,
-                           jnp.where((xv & 0xFFFF) != 0, 1,
-                                     jnp.where((xv & 0xFFFFFF) != 0, 2, 3)))
-            ml = jnp.minimum((X0 + xi) - s_tok + tz, limv - s_tok)
+            ml = ml + back
 
             # ---- state update ----
             cur = jnp.where(found, s_tok + ml, cur)
-            survived = active & (xi >= 999)      # crosses into next segment
             pend = jnp.where(found, 0,
                              jnp.where(survived, 1, pend)).astype(jnp.int32)
             ps = jnp.where(survived, s_tok, ps)
@@ -849,7 +880,7 @@ def cfg_for_level(level: int) -> EncCfg:
     verify/extension cost proportional to offsets actually used)."""
     if level % 10 == 0:
         return EncCfg()
-    return EncCfg(maxoff=65535)
+    return EncCfg(maxoff=65535, lazy=True)
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
@@ -990,25 +1021,45 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             lim = n - LASTLITERALS
             cur = 0
             ci = 0
+
+            def mismatch_x(s, d):
+                # first x in [s, lim) with a w8 word mismatch (lim if
+                # none -- the kernel's forced mismatch)
+                x = s
+                win = 128
+                while x < lim:
+                    e = min(x + win, lim)
+                    neq = np.flatnonzero(w8[x:e] != w8[x - d:e - d])
+                    if neq.size:
+                        return x + int(neq[0])
+                    x = e
+                    win *= 4
+                return lim
+
+            def ml_of(s, x):
+                return (lim - s) if x >= lim else min(x - s + 3, lim - s)
+
             while ci < len(cpos):
                 ci = np.searchsorted(cpos, cur)
                 if ci >= len(cpos):
                     break
                 s = int(cpos[ci])
                 d = int(db[s])
-                # exact extension: first x in [s, lim) with w8 mismatch
-                x = s
-                win = 128
-                ml = lim - s
-                while x < lim:
-                    e = min(x + win, lim)
-                    neq = np.flatnonzero(w8[x:e] != w8[x - d:e - d])
-                    if neq.size:
-                        x += int(neq[0])
-                        ml = min(x - s + 3, lim - s)
-                        break
-                    x = e
-                    win *= 4
+                seg_end = (s // SEG) * SEG + SEG
+                x1 = mismatch_x(s, d)
+                ml = ml_of(s, x1)
+                if (cfg.lazy and (s % SEG) < 127 and s + 1 < len(db)
+                        and db[s + 1] > 0):
+                    # kernel lazy rule: compare kernel-VISIBLE lengths;
+                    # a segment-surviving candidate shows only its
+                    # guaranteed lower bound (seg_end - start + 3)
+                    d2 = int(db[s + 1])
+                    x2 = mismatch_x(s + 1, d2)
+                    ml2 = ml_of(s + 1, x2)
+                    v1 = (seg_end - s + 3) if x1 >= seg_end else ml
+                    v2 = (seg_end - s - 1 + 3) if x2 >= seg_end else ml2
+                    if v2 > v1 + 1:
+                        s, d, ml = s + 1, d2, ml2
                 # back-extension (lizard_parser_fast.h:102): byte-wise
                 # while above the anchor and the window base; the lane
                 # kernel additionally floors at the segment start

@@ -304,3 +304,24 @@ def test_lane_encode_huffman_interop():
     for level in (35, 45):
         e = _lane_encode([d], level=level)[0]
         assert o.decompress(e, len(d)) == d
+
+
+def test_passA_lazy_matches_reference():
+    """Lazy selection (levels 11+) must be token-exact vs the mirror."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import pA_call, p2_reference, \
+        unpack_tokens
+    cfg = dataclasses.replace(CFG, lazy=True)
+    blocks = _mk_blocks(61)
+    w32i, meta = pack_blocks(blocks, cfg)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                     interpret=True)
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+                  interpret=True)
+    got = unpack_tokens(tok, cfg)
+    want = p2_reference(blocks, cfg)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"block {b}: {len(got[b])} vs {len(want[b])}; first diff: "
+            f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
