@@ -59,6 +59,7 @@ from lizard_tpu.format.constants import (     # noqa: E402
 SEG = 128
 RING = 16                     # w8 ring rows (probe reach: 15*128 bytes)
 HMUL = 2654435761
+H5MIX = 0x9E3B                # 5th-byte mix constant for the h5 table
 BIGSENT = 1 << 24             # insert sentinel: never matches a bucket
 
 
@@ -73,6 +74,10 @@ class EncCfg:
     tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
                               # overflow -> host fallback, see pass A)
     lazy: bool = False        # one-step lazy match selection (pass A)
+    h5: bool = False          # second 5-byte-hash table; its verified
+                              # candidate wins (levels 12+: captures the
+                              # full dual-table ratio gain, pass A
+                              # untouched)
 
     @property
     def nw(self):
@@ -127,7 +132,8 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
     cp_in.start()
     cp_in.wait()
 
-    table[:, :] = jnp.zeros((ttiles * 8, 128), jnp.int32)
+    ntabs = 2 if cfg.h5 else 1
+    table[:, :] = jnp.zeros((ntabs * ttiles * 8, 128), jnp.int32)
 
     nv = jnp.zeros((8, 128), jnp.int32)
     for b in range(8):
@@ -157,54 +163,79 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 
         ring[pl.ds((i & (RING - 1)) * 8, 8)] = w8.astype(jnp.int32)
 
-        # ---- lookup ----------------------------------------------------
-        hrow, hcol = h >> 7, h & 127
-        acc = jnp.zeros((8, 128), jnp.int32)
-        for k in range(ttiles):
-            g = _take(table[k * 8:(k + 1) * 8], hcol)
-            acc = jnp.where(hrow == k, g, acc)
-        cand0 = acc - 1
-        off0 = p - cand0
+        ntab = 2 if cfg.h5 else 1
+        if cfg.h5:
+            # 5-byte hash: the 5th byte is free (whi holds words W+1)
+            b4 = _shr(whi.astype(jnp.uint32), sh) & 255
+            h5v = (_shr((w8 ^ (b4 * jnp.uint32(H5MIX)))
+                        * jnp.uint32(HMUL),
+                        jnp.full((8, 128), 32 - cfg.hl, jnp.int32))
+                   ).astype(jnp.int32)
+            hs_all = (h, h5v)
+        else:
+            hs_all = (h,)
 
-        # ---- verify (funnel over [p-maxoff, p]) ------------------------
-        # dynamic-reach chain (lane_decode band_emit_all idiom): a static
-        # NEAR-tile walk covers the common small offsets; one scalar
-        # reduce sizes the far loop so a 64 KB maxoff costs only what the
-        # segment's actual candidates reach
-        okd = (acc > 0) & (off0 >= cfg.min_offset) & (off0 <= cfg.maxoff)
-        W0 = jnp.maximum(cand0, 0) >> 2
-        W1 = W0 + 1
-        a0 = jnp.zeros((8, 128), jnp.int32)
-        a1 = jnp.zeros((8, 128), jnp.int32)
+        # ---- lookup (per table) ---------------------------------------
+        accs = []
+        for t, h_t in enumerate(hs_all):
+            hrow, hcol = h_t >> 7, h_t & 127
+            acc = jnp.zeros((8, 128), jnp.int32)
+            for k in range(ttiles):
+                g = _take(table[(t * ttiles + k) * 8:
+                                (t * ttiles + k + 1) * 8], hcol)
+                acc = jnp.where(hrow == k, g, acc)
+            accs.append(acc)
+
+        # ---- verify (merged dynamic-reach funnel, all tables) ---------
+        # (lane_decode band_emit_all idiom): a static NEAR-tile walk
+        # covers the common small offsets; one scalar reduce sizes the
+        # far loop so a 64 KB maxoff costs only what the segment's
+        # candidates actually reach
+        zt = jnp.zeros((8, 128), jnp.int32)
+        c0s = [acc - 1 for acc in accs]
+        off0s = [p - c0 for c0 in c0s]
+        okds = [(acc > 0) & (o >= cfg.min_offset) & (o <= cfg.maxoff)
+                for acc, o in zip(accs, off0s)]
+        W0s = [jnp.maximum(c0, 0) >> 2 for c0 in c0s]
+        a0s = [zt] * ntab
+        a1s = [zt] * ntab
         Ttop = i >> 2
         NEARV = min(ENC_NEAR + 1, cfg.nch)
 
-        def vstep(tk, a0, a1):
+        def vstep(tk, a0s, a1s):
             tc = jnp.maximum(tk, 0)
             tile = w32[pl.ds(tc * 8, 8)]
-            a0 = jnp.where((W0 >> 7) == tk, _take(tile, W0 & 127), a0)
-            a1 = jnp.where((W1 >> 7) == tk, _take(tile, W1 & 127), a1)
-            return a0, a1
+            a0s = [jnp.where((W0 >> 7) == tk, _take(tile, W0 & 127), a0)
+                   for W0, a0 in zip(W0s, a0s)]
+            a1s = [jnp.where(((W0 + 1) >> 7) == tk,
+                             _take(tile, (W0 + 1) & 127), a1)
+                   for W0, a1 in zip(W0s, a1s)]
+            return a0s, a1s
 
         for k in range(NEARV + 1):
-            a0, a1 = vstep(Ttop - k, a0, a1)
-        dmaxv = jnp.max(jnp.where(okd, off0, 0))
+            a0s, a1s = vstep(Ttop - k, a0s, a1s)
+        dmaxv = zt
+        for okd, o in zip(okds, off0s):
+            dmaxv = jnp.maximum(dmaxv, jnp.where(okd, o, 0))
+        dmaxs = jnp.max(dmaxv)
         kfarv = jnp.maximum(
-            Ttop - ((i * SEG - dmaxv) >> 9) - NEARV, 0)
+            Ttop - ((i * SEG - dmaxs) >> 9) - NEARV, 0)
 
         def vfar(q, aa):
             return vstep(Ttop - (NEARV + 1) - q, *aa)
 
-        a0, a1 = jax.lax.fori_loop(0, kfarv, vfar, (a0, a1))
-        sh2 = (jnp.maximum(cand0, 0) & 3) << 3
-        wv = (_shr(a0.astype(jnp.uint32), sh2)
-              | jnp.where(sh2 == 0, jnp.uint32(0),
-                          _shl(a1.astype(jnp.uint32), (32 - sh2) & 31)))
-        okT = ((acc > 0) & (wv == w8) & (off0 >= cfg.min_offset)
-               & (off0 <= cfg.maxoff))
-        best = jnp.where(okT, cand0, -1)
+        a0s, a1s = jax.lax.fori_loop(0, kfarv, vfar, (a0s, a1s))
+        okTs = []
+        for t in range(ntab):
+            sh2 = (jnp.maximum(c0s[t], 0) & 3) << 3
+            wv = (_shr(a0s[t].astype(jnp.uint32), sh2)
+                  | jnp.where(sh2 == 0, jnp.uint32(0),
+                              _shl(a1s[t].astype(jnp.uint32),
+                                   (32 - sh2) & 31)))
+            okTs.append(okds[t] & (wv == w8))
+        best = jnp.where(okTs[0], c0s[0], -1)
 
-        # ---- probe ladder ---------------------------------------------
+        # ---- probe ladder (fills h4-table misses) ---------------------
         w8i = w8.astype(jnp.int32)
         for d in cfg.probes:
             k0, rem = d >> 7, d & 127
@@ -219,6 +250,10 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
             ok = (best < 0) & (p - d >= 0) & (vd == w8i)
             best = jnp.where(ok, p - d, best)
 
+        if cfg.h5:
+            # the 5-byte table's verified candidate wins outright
+            best = jnp.where(okTs[1], c0s[1], best)
+
         mask = (p < nv - MFLIMIT) & (nv >= LIZARD_MIN_LENGTH) & (best >= 0)
         d16 = jnp.where(mask, p - best, 0)
         dhalf = carry
@@ -227,36 +262,38 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
         def _():
             packed[pl.ds((i >> 1) * 8, 8)] = dhalf | (d16 << 16)
 
-        # ---- insert ----------------------------------------------------
-        hnext = pltpu.roll(h, 127, 1)         # h[l+1] (wraps at 127)
-        keep = ((lanes == 127) | (h != hnext)) & (p < nv)
-        hins = jnp.where(keep, h, BIGSENT)
-        hts[0:8] = hins
-        ht = jnp.transpose(hts[:, :])          # ht[l, b] = hins[b, l]
+        # ---- insert (per table) ---------------------------------------
         l256 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) * 256 + 1
         cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         tt64 = jax.lax.broadcasted_iota(jnp.int32, (trows, 128), 0)
-        for b in range(8):
-            hb = jnp.broadcast_to(hins[b:b + 1, :], (trows, 128))
-            rowOH = (hb >> 7 == tt64).astype(jnp.float32)
-            hc = jnp.broadcast_to(ht[:, b:b + 1], (128, 128))
-            X = jnp.where((hc & 127) == cc, l256, 0).astype(jnp.float32)
-            C = jax.lax.dot_general(
-                rowOH, X, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
-            cnt = C & 255
-            newv = i * SEG + (C >> 8) + 1
-            cs[b * trows:(b + 1) * trows] = jnp.where(cnt == 1, newv, 0)
-
-        # apply: interleaved tile t rows = (t, b=0..7)
-        for t in range(trows):
-            upd = jnp.zeros((8, 128), jnp.int32)
+        for t, h_t in enumerate(hs_all):
+            hnext = pltpu.roll(h_t, 127, 1)       # h[l+1] (wraps at 127)
+            keep = ((lanes == 127) | (h_t != hnext)) & (p < nv)
+            hins = jnp.where(keep, h_t, BIGSENT)
+            hts[0:8] = hins
+            ht = jnp.transpose(hts[:, :])         # ht[l, b] = hins[b, l]
             for b in range(8):
-                row = cs[b * trows + t:b * trows + t + 1, :]
-                upd = jnp.where(sub == b,
-                                jnp.broadcast_to(row, (8, 128)), upd)
-            old = table[t * 8:(t + 1) * 8]
-            table[t * 8:(t + 1) * 8] = jnp.where(upd > 0, upd, old)
+                hb = jnp.broadcast_to(hins[b:b + 1, :], (trows, 128))
+                rowOH = (hb >> 7 == tt64).astype(jnp.float32)
+                hc = jnp.broadcast_to(ht[:, b:b + 1], (128, 128))
+                X = jnp.where((hc & 127) == cc, l256, 0).astype(jnp.float32)
+                C = jax.lax.dot_general(
+                    rowOH, X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                cnt = C & 255
+                newv = i * SEG + (C >> 8) + 1
+                cs[b * trows:(b + 1) * trows] = jnp.where(cnt == 1, newv, 0)
+
+            # apply: interleaved tile k rows = (k, b=0..7)
+            for k in range(trows):
+                upd = jnp.zeros((8, 128), jnp.int32)
+                for b in range(8):
+                    row = cs[b * trows + k:b * trows + k + 1, :]
+                    upd = jnp.where(sub == b,
+                                    jnp.broadcast_to(row, (8, 128)), upd)
+                r0 = (t * ttiles + k) * 8
+                old = table[r0:r0 + 8]
+                table[r0:r0 + 8] = jnp.where(upd > 0, upd, old)
         return d16
 
     assert cfg.nseg % 2 == 0
@@ -282,7 +319,8 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM((cfg.ttiles * 8, 128), jnp.int32),
+            pltpu.VMEM(((2 if cfg.h5 else 1) * cfg.ttiles * 8, 128),
+                       jnp.int32),
             pltpu.VMEM((RING * 8, 128), jnp.int32),
             pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
             pltpu.VMEM((8 * cfg.ttiles, 128), jnp.int32),
@@ -880,7 +918,9 @@ def cfg_for_level(level: int) -> EncCfg:
     verify/extension cost proportional to offsets actually used)."""
     if level % 10 == 0:
         return EncCfg()
-    return EncCfg(maxoff=65535, lazy=True)
+    if level % 10 == 1:
+        return EncCfg(maxoff=65535, lazy=True)
+    return EncCfg(maxoff=65535, lazy=True, h5=True)
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
@@ -1096,38 +1136,51 @@ def p1_reference(blocks, cfg: EncCfg):
         # which is masked out anyway (n - MFLIMIT).
         h = ((w8 * np.uint32(HMUL)) >> np.uint32(32 - cfg.hl)).astype(
             np.int64)
-        table = np.zeros(1 << cfg.hl, np.int64)   # stores pos+1
+        hs_all = [h]
+        if cfg.h5:
+            b4 = wpad[4:cfg.n + 4].astype(np.uint32)     # byte at p+4
+            h5v = (((w8 ^ (b4 * np.uint32(H5MIX))) * np.uint32(HMUL))
+                   >> np.uint32(32 - cfg.hl)).astype(np.int64)
+            hs_all.append(h5v)
+        tables = [np.zeros(1 << cfg.hl, np.int64) for _ in hs_all]
         cand = np.zeros(cfg.n, np.int64)
         pos = np.arange(cfg.n)
         for i in range(cfg.nseg):
             seg = slice(i * SEG, (i + 1) * SEG)
             ps = pos[seg]
-            hs = h[seg]
-            v = table[hs]
-            c0 = v - 1
-            off = ps - c0
-            okT = ((v > 0) & (w8[np.clip(c0, 0, cfg.n - 1)] == w8[seg])
-                   & (off >= cfg.min_offset) & (off <= cfg.maxoff))
-            best = np.where(okT, c0, -1)
+            okTs, c0s = [], []
+            for t, h_t in enumerate(hs_all):
+                v = tables[t][h_t[seg]]
+                c0 = v - 1
+                off = ps - c0
+                okTs.append(
+                    (v > 0) & (w8[np.clip(c0, 0, cfg.n - 1)] == w8[seg])
+                    & (off >= cfg.min_offset) & (off <= cfg.maxoff))
+                c0s.append(c0)
+            best = np.where(okTs[0], c0s[0], -1)
             for d in cfg.probes:
                 c = ps - d
                 ok = (best < 0) & (c >= 0) & (
                     w8[np.clip(c, 0, cfg.n - 1)] == w8[seg])
                 best = np.where(ok, c, best)
+            if cfg.h5:
+                best = np.where(okTs[1], c0s[1], best)
             mask = ((ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
                     & (best >= 0))
             cand[seg] = np.where(mask, ps - best, 0)
             # insert: adjacent dedupe (keep last of each run; lane 127
             # always kept), duplicates after dedupe keep the OLD entry
-            keep = np.ones(SEG, bool)
-            keep[:-1] = hs[:-1] != hs[1:]
-            keep &= ps < n
-            hk, pk = hs[keep], ps[keep]
-            uniq, inv, cnt = np.unique(hk, return_inverse=True,
-                                       return_counts=True)
-            lastp = np.zeros(len(uniq), np.int64)
-            lastp[inv] = pk                     # later writes win
-            one = cnt == 1
-            table[uniq[one]] = lastp[one] + 1
+            for t, h_t in enumerate(hs_all):
+                hs = h_t[seg]
+                keep = np.ones(SEG, bool)
+                keep[:-1] = hs[:-1] != hs[1:]
+                keep &= ps < n
+                hk, pk = hs[keep], ps[keep]
+                uniq, inv, cnt = np.unique(hk, return_inverse=True,
+                                           return_counts=True)
+                lastp = np.zeros(len(uniq), np.int64)
+                lastp[inv] = pk                 # later writes win
+                one = cnt == 1
+                tables[t][uniq[one]] = lastp[one] + 1
         out[b] = cand
     return out, meta

@@ -325,3 +325,27 @@ def test_passA_lazy_matches_reference():
         assert got[b] == want[b], (
             f"block {b}: {len(got[b])} vs {len(want[b])}; first diff: "
             f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
+
+
+def test_p1_h5_dual_table_matches_reference():
+    """The 5-byte-hash second table (levels 12+) must stay bit-exact
+    vs the mirror and improve the candidate count."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import unpack_d16
+    cfg = dataclasses.replace(CFG, h5=True, lazy=True)
+    blocks = _mk_blocks(71)
+    w32i, meta = pack_blocks(blocks, cfg)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                     interpret=True)
+    got = unpack_d16(packed, cfg)
+    ref, _ = p1_reference(blocks, cfg)
+    assert np.array_equal(got, ref)
+    base, _ = p1_reference(blocks, dataclasses.replace(CFG, lazy=True))
+    assert (ref > 0).sum() >= (base > 0).sum()
+    # full pipeline round-trips at a 12-class level
+    from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+    from lizard_tpu.ref.block_decode import decompress
+    encs = encode_blocks_lanes(blocks, level=12, cfg=cfg, interpret=True)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
