@@ -250,27 +250,38 @@ def bench_encode_lanes(data, seconds):
                                           pack_blocks,
                                           encode_blocks_lanes)
 
-    cfg = cfg_for_level(11)       # 64 KB reach, the production default
+    cfg = cfg_for_level(int(os.environ.get("BENCH_ENC_LEVEL", "11")))
+    il = int(os.environ.get("BENCH_ENC_IL", "1"))
     N = cfg.n
     blocks = [data[i:i + N] for i in range(0, len(data), N)]
     groups = []
-    for base in range(0, len(blocks) - 7, 8):
-        w32i, meta = pack_blocks(blocks[base:base + 8], cfg)
-        groups.append((jnp.asarray(w32i), jnp.asarray(meta)))
-    for w, m in groups:
+    for base in range(0, len(blocks) - 8 * il + 1, 8 * il):
+        subs = [blocks[base + k * 8:base + (k + 1) * 8]
+                for k in range(il)]
+        packs = [pack_blocks(sg, cfg) for sg in subs]
+        w32i = np.concatenate([w for w, _ in packs], axis=0)
+        meta = np.concatenate([m for _, m in packs])
+        groups.append((jnp.asarray(w32i), jnp.asarray(meta),
+                       [jnp.asarray(w) for w, _ in packs],
+                       [jnp.asarray(m) for _, m in packs]))
+    for w, m, _, _ in groups:
         w.block_until_ready()
-    # warm compile
-    pA_call(groups[0][0], p1_call(*groups[0], cfg), groups[0][1],
-            cfg).block_until_ready()
+
+    def run_group(grp):
+        w, m, ws, ms = grp
+        p1s = [p1_call(wk, mk, cfg) for wk, mk in zip(ws, ms)]
+        cands = jnp.concatenate(p1s, axis=0) if il > 1 else p1s[0]
+        return pA_call(w, cands, m, cfg, il=il)
+
+    run_group(groups[0]).block_until_ready()    # warm compile
 
     done = 0
     t0 = time.perf_counter()
     g = 0
     while True:
-        w, m = groups[g % len(groups)]
-        tok = pA_call(w, p1_call(w, m, cfg), m, cfg)
+        tok = run_group(groups[g % len(groups)])
         g += 1
-        done += 8 * N
+        done += 8 * il * N
         if g % 4 == 0:
             tok.block_until_ready()
             if time.perf_counter() - t0 >= seconds and g >= len(groups):

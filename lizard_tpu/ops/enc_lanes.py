@@ -366,71 +366,91 @@ import os as _os                                            # noqa: E402
 _ENC_ABL = _os.environ.get("LANE_ENC_ABL", "")  # "chain" = ablation
 
 
-def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
+def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                w32, cand, tok, sems):
+    """il groups of 8 blocks interleaved per while-iteration (the lane
+    decoder's latency-hiding idiom): independent groups' serial chains
+    pipeline each other. State/inputs/outputs are row-stacked per
+    group; the iteration counter/slot/row are shared (a group with no
+    work this iteration emits a null slot)."""
     lanes = _iota1()
     sub = _iota0()
     nseg = cfg.nseg
+    WR = (cfg.wtiles + 1) * 8           # w32 rows per group
+    CR = cfg.nseg // 2 * 8              # cand rows per group
+    TR = (MAXROWS + 1) * 8              # tok rows per group
 
     cp0 = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
     cp0.start()
     cp1 = pltpu.make_async_copy(cand_hbm, cand, sems.at[1])
     cp1.start()
-    tok[:, :] = jnp.zeros(((MAXROWS + 1) * 8, 128), jnp.int32)
+    tok[:, :] = jnp.zeros((il * TR, 128), jnp.int32)
     cp0.wait()
     cp1.wait()
 
-    nv = jnp.zeros((8, 128), jnp.int32)
-    for b in range(8):
-        nv = jnp.where(sub == b, meta[b], nv)
-    limv = nv - LASTLITERALS
+    limvs = []
+    for g in range(il):
+        nv = jnp.zeros((8, 128), jnp.int32)
+        for b in range(8):
+            nv = jnp.where(sub == b, meta[g * 8 + b], nv)
+        limvs.append(nv - LASTLITERALS)
 
     z = jnp.zeros((8, 128), jnp.int32)
+    NST = 5                              # per-group carried tiles
 
     def seg_body(i, st):
-        cur, pend, ps, pd, pchk, it, slot, row, acc = st
         X0 = i * SEG
         p = X0 + lanes
-
-        # current-side bytes (same funnel as phase 1)
         t0 = i >> 2
         c32 = 32 * i + (lanes >> 2)
-        T0 = w32[pl.ds(t0 * 8, 8)]
-        T1 = w32[pl.ds(jnp.minimum(t0 + 1, cfg.wtiles) * 8, 8)]
-        wlo = jnp.where((c32 >> 7) == t0, _take(T0, c32 & 127),
-                        _take(T1, c32 & 127))
         c32p = c32 + 1
-        whi = jnp.where((c32p >> 7) == t0, _take(T0, c32p & 127),
-                        _take(T1, c32p & 127))
         sh = (lanes & 3) << 3
-        w8c = (_shr(wlo.astype(jnp.uint32), sh)
-               | jnp.where(sh == 0, jnp.uint32(0),
-                           _shl(whi.astype(jnp.uint32), (32 - sh) & 31)))
 
-        raw = cand[pl.ds((i >> 1) * 8, 8)]
-        drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
-        valid = drow > 0
+        w8cs, drows, valids = [], [], []
+        for g in range(il):
+            T0 = w32[pl.ds(g * WR + t0 * 8, 8)]
+            T1 = w32[pl.ds(g * WR
+                           + jnp.minimum(t0 + 1, cfg.wtiles) * 8, 8)]
+            wlo = jnp.where((c32 >> 7) == t0, _take(T0, c32 & 127),
+                            _take(T1, c32 & 127))
+            whi = jnp.where((c32p >> 7) == t0, _take(T0, c32p & 127),
+                            _take(T1, c32p & 127))
+            w8cs.append(_shr(wlo.astype(jnp.uint32), sh)
+                        | jnp.where(sh == 0, jnp.uint32(0),
+                                    _shl(whi.astype(jnp.uint32),
+                                         (32 - sh) & 31)))
+            raw = cand[pl.ds(g * CR + (i >> 1) * 8, 8)]
+            drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
+            drows.append(drow)
+            valids.append(drow > 0)
 
-        pchk = pend                      # pending needs one check here
+        gst = list(st[3:])
+        for g in range(il):                  # pending needs one check
+            gst[g * NST + 4] = gst[g * NST + 1]
 
         def w_cond(stt):
-            cur, pend, ps, pd, pchk, it, slot, row, acc = stt
-            av = valid & (p >= cur)
-            work = ((pend > 0) & (pchk > 0)) | ((pend == 0) & av)
-            # safety bound only (true bound is 33/segment); emission
-            # clamps at MAXROWS and the host detects overflow by it_fin
-            return jnp.any(work) & (it < nseg * 34)
+            it = stt[0]
+            c = None
+            for g in range(il):
+                cur, pend = stt[3 + g * NST], stt[3 + g * NST + 1]
+                pchk = stt[3 + g * NST + 4]
+                av = valids[g] & (p >= cur)
+                work = ((pend > 0) & (pchk > 0)) | ((pend == 0) & av)
+                v = jnp.any(work)
+                c = v if c is None else (c | v)
+            return c & (it < nseg * 34)
 
-        def w_body(stt):
-            cur, pend, ps, pd, pchk, it, slot, row, acc = stt
+        def group_step(g, cur, pend, ps, pd, pchk):
+            drow, valid = drows[g], valids[g]
+            w8c, limv = w8cs[g], limvs[g]
 
             av = valid & (p >= cur)
             m999 = jnp.where(av, lanes, 999)
-            sidx = jnp.broadcast_to(jnp.min(m999, axis=1, keepdims=True),
-                                    (8, 128))
+            sidx = jnp.broadcast_to(
+                jnp.min(m999, axis=1, keepdims=True), (8, 128))
             has = sidx < 999
             s_new = X0 + sidx
-            d_new = _take(drow, jnp.clip(sidx, 0, 127))  # distance at s
+            d_new = _take(drow, jnp.clip(sidx, 0, 127))
 
             ap = (pend > 0) & (pchk > 0)        # pending check
             aq = (pend == 0) & has              # acquisition
@@ -439,7 +459,6 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             d_tok = jnp.where(ap, pd, d_new)
             rel0 = jnp.where(ap, 0, sidx)
 
-            # ---- eq-row machinery (factored: lazy evaluates two) -----
             def fetch(d_tok, active):
                 """xor of the segment's words vs bytes at (p - d_tok)."""
                 y = p - d_tok
@@ -455,7 +474,7 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                     for k in range(ENC_NEAR + 1):
                         t_un = Ttop - k
                         tc = jnp.maximum(t_un, 0)
-                        tile = w32[pl.ds(tc * 8, 8)]
+                        tile = w32[pl.ds(g * WR + tc * 8, 8)]
                         glo = _take(tile, wi & 127)
                         ghi = _take(tile, (wi + 1) & 127)
                         lo = jnp.where(wt == t_un, glo, lo)
@@ -468,7 +487,7 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                         lo, hi = lh
                         t_un = Ttop - (ENC_NEAR + 1) - q
                         tc = jnp.maximum(t_un, 0)
-                        tile = w32[pl.ds(tc * 8, 8)]
+                        tile = w32[pl.ds(g * WR + tc * 8, 8)]
                         glo = _take(tile, wi & 127)
                         ghi = _take(tile, (wi + 1) & 127)
                         return (jnp.where(wt == t_un, glo, lo),
@@ -488,8 +507,9 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
                         y0 = X0 - db
                         y0c = jnp.maximum(y0, 0)
                         t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
-                        rA = w32[pl.ds(t0s * 8 + b, 1)]
-                        rB = w32[pl.ds(jnp.minimum(t0s + 1, cfg.wtiles)
+                        rA = w32[pl.ds(g * WR + t0s * 8 + b, 1)]
+                        rB = w32[pl.ds(g * WR
+                                       + jnp.minimum(t0s + 1, cfg.wtiles)
                                        * 8 + b, 1)]
                         # rel = word(y0+l) - t0s*128, exact for lanes
                         # with y0+l >= 0 (the only ones the masks read);
@@ -559,10 +579,11 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             found = active & ~survived
 
             # back-extension (lizard_parser_fast.h:102): consecutive
-            # byte-equal lanes immediately below the match start, floored
-            # at the anchor, the window base, and this segment's start
+            # byte-equal lanes immediately below the match start,
+            # floored at the anchor, window base, and segment start
             bmin = jnp.maximum(jnp.maximum(cur - X0, d_tok - X0), 0)
-            blocker = (((xor & 255) != 0) | (lanes < bmin)) & (lanes < rel0)
+            blocker = (((xor & 255) != 0) | (lanes < bmin)) \
+                & (lanes < rel0)
             bidx = jnp.broadcast_to(
                 jnp.max(jnp.where(blocker, lanes, -1), axis=1,
                         keepdims=True), (8, 128))
@@ -571,36 +592,52 @@ def _pA_kernel(cfg, MAXROWS, meta, w32_hbm, cand_hbm, tok_hbm,
             s_tok = s_tok - back
             ml = ml + back
 
-            # ---- state update ----
             cur = jnp.where(found, s_tok + ml, cur)
             pend = jnp.where(found, 0,
-                             jnp.where(survived, 1, pend)).astype(jnp.int32)
+                             jnp.where(survived, 1,
+                                       pend)).astype(jnp.int32)
             ps = jnp.where(survived, s_tok, ps)
             pd = jnp.where(survived, d_tok, pd)
             pchk = jnp.where(active, 0, pchk)
 
-            # ---- emit (lane slots 3k..3k+2 of row it//TPR) ----
             fz = found.astype(jnp.int32)
             tok3 = (jnp.where(lanes == 0, s_tok,
                               jnp.where(lanes == 1, ml,
                                         jnp.where(lanes == 2, d_tok, 0)))
                     * fz)
-            rolled = pltpu.roll(tok3, slot * 3, 1)
-            acc = jnp.where(slot == 0, rolled, acc | rolled)
-            tok[pl.ds(jnp.minimum(row, MAXROWS - 1) * 8, 8)] = acc
+            return cur, pend, ps, pd, pchk, tok3
+
+        def w_body(stt):
+            it, slot, row = stt[0], stt[1], stt[2]
+            out = list(stt[3:])
+            for g in range(il):
+                cur, pend, ps, pd, pchk = stt[3 + g * NST:
+                                              3 + (g + 1) * NST]
+                cur, pend, ps, pd, pchk, tok3 = group_step(
+                    g, cur, pend, ps, pd, pchk)
+                out[g * NST:(g + 1) * NST] = [cur, pend, ps, pd, pchk]
+                rolled = pltpu.roll(tok3, slot * 3, 1)
+                acc = jnp.where(slot == 0, rolled,
+                                out[il * NST + g] | rolled)
+                tok[pl.ds(g * TR
+                          + jnp.minimum(row, MAXROWS - 1) * 8, 8)] = acc
+                out[il * NST + g] = acc
             wrap = slot == TPR - 1
-            slot = jnp.where(wrap, 0, slot + 1)
-            row = row + wrap.astype(jnp.int32)
-            return (cur, pend, ps, pd, pchk, it + 1, slot, row, acc)
+            return (it + 1, jnp.where(wrap, 0, slot + 1),
+                    row + wrap.astype(jnp.int32)) + tuple(out)
 
-        cur, pend, ps, pd, pchk, it, slot, row, acc = jax.lax.while_loop(
-            w_cond, w_body, (cur, pend, ps, pd, pchk, it, slot, row, acc))
-        return (cur, pend, ps, pd, pchk, it, slot, row, acc)
+        stt = (st[0], st[1], st[2]) + tuple(gst)
+        stt = jax.lax.while_loop(w_cond, w_body, stt)
+        return stt
 
-    init = (z, z, z, z, z, jnp.int32(0), jnp.int32(0), jnp.int32(0), z)
+    init = ((jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            + tuple(z for _ in range(NST * il))
+            + tuple(z for _ in range(il)))
     st = jax.lax.fori_loop(0, nseg, seg_body, init)
-    it_fin = st[5]
-    tok[pl.ds(MAXROWS * 8, 8)] = jnp.full((8, 128), it_fin, jnp.int32)
+    it_fin = st[0]
+    for g in range(il):
+        tok[pl.ds((g * TR + MAXROWS * 8), 8)] = jnp.full(
+            (8, 128), it_fin, jnp.int32)
 
     cp_out = pltpu.make_async_copy(tok, tok_hbm, sems.at[2])
     cp_out.start()
@@ -627,15 +664,17 @@ def _maxrows(cfg):
     return min(cfg.tok_rows, (cfg.nseg * 33 + TPR - 1) // TPR)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False):
-    """w32i from pack_blocks; cand_packed from p1_call (d16-packed).
-    Returns tok ((MAXROWS+1)*8, 128) i32: row r lane 3k..3k+2 =
-    (s, ml, d) of iteration r*TPR+k (ml=0 null); final tile = total
-    iteration count (> MAXROWS*TPR means the buffer overflowed and
-    tokens were dropped — callers must fall back, see TokenOverflow)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "il"))
+def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False, il=1):
+    """w32i from pack_blocks; cand_packed from p1_call (d16-packed) —
+    for il > 1 both are row-stacked per group and meta is (il*8,).
+    Returns tok (il*(MAXROWS+1)*8, 128) i32, row-stacked per group:
+    within a group, row r lane 3k..3k+2 = (s, ml, d) of iteration
+    r*TPR+k (ml=0 null); the group's final tile = total iteration
+    count (> MAXROWS*TPR means the buffer overflowed and tokens were
+    dropped — callers must fall back, see TokenOverflow)."""
     MAXROWS = _maxrows(cfg)
-    kernel = functools.partial(_pA_kernel, cfg, MAXROWS)
+    kernel = functools.partial(_pA_kernel, cfg, MAXROWS, il)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -643,16 +682,17 @@ def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False):
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
-            pltpu.VMEM(((MAXROWS + 1) * 8, 128), jnp.int32),
+            pltpu.VMEM((il * (cfg.wtiles + 1) * 8, 128), jnp.int32),
+            pltpu.VMEM((il * (cfg.nseg // 2) * 8, 128), jnp.int32),
+            pltpu.VMEM((il * (MAXROWS + 1) * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(((MAXROWS + 1) * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((il * (MAXROWS + 1) * 8, 128),
+                                       jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, w32i, cand_packed)
@@ -924,7 +964,7 @@ def cfg_for_level(level: int) -> EncCfg:
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
-                        interpret=None):
+                        interpret=None, il=1):
     """Compress up-to-128 KB blocks with the Pallas lane pipeline
     (p1 match finder + pass-A parse on device, emission on host).
     All four level families: 10-19 fastLZ4, 20-29 LIZv1, 30-39
@@ -947,17 +987,26 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
     # dispatch every group first (jax dispatch is async): device compute
     # for group k+1.. overlaps the host emission of group k
     jobs = []
-    for base in range(0, len(blocks), 8):
-        part = blocks[base:base + 8]
-        w32i, meta = pack_blocks(part, cfg)
-        w32j, metaj = jnp.asarray(w32i), jnp.asarray(meta)
-        packed = p1_call(w32j, metaj, cfg, interpret=interpret)
+    TR = (_maxrows(cfg) + 1) * 8
+    for base in range(0, len(blocks), 8 * il):
+        part = blocks[base:base + 8 * il]
+        subs = [part[k * 8:(k + 1) * 8] for k in range(il)]
+        packs = [pack_blocks(sg, cfg) for sg in subs]
+        p1s = [p1_call(jnp.asarray(w), jnp.asarray(m), cfg,
+                       interpret=interpret) for (w, m) in packs]
+        w32j = jnp.asarray(np.concatenate([w for w, _ in packs], axis=0))
+        metaj = jnp.asarray(np.concatenate([m for _, m in packs]))
+        cands = jnp.concatenate(p1s, axis=0) if il > 1 else p1s[0]
         jobs.append((base, part,
-                     pA_call(w32j, packed, metaj, cfg,
-                             interpret=interpret)))
+                     pA_call(w32j, cands, metaj, cfg,
+                             interpret=interpret, il=il)))
     for base, part, tok in jobs:
+        tok = np.asarray(tok)
         try:
-            arrs = unpack_token_arrays(np.asarray(tok), cfg)
+            arrs = []
+            for g in range((len(part) + 7) // 8):
+                arrs.extend(unpack_token_arrays(
+                    tok[g * TR:(g + 1) * TR], cfg))
         except TokenOverflow:
             # pathological token density blew the capped buffer: this
             # group re-encodes through the host fallback

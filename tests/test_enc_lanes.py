@@ -349,3 +349,33 @@ def test_p1_h5_dual_table_matches_reference():
     encs = encode_blocks_lanes(blocks, level=12, cfg=cfg, interpret=True)
     for d, e in zip(blocks, encs):
         assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+def test_passA_il2_matches_reference():
+    """Two interleaved groups must each emit exactly their mirror's
+    token lists (shared iteration counter, stacked buffers)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import (pA_call, p2_reference,
+                                          unpack_tokens, _maxrows)
+    cfg = dataclasses.replace(CFG, lazy=True)
+    blocksA = _mk_blocks(81)
+    blocksB = _mk_blocks(82)[::-1]
+    w32A, metaA = pack_blocks(blocksA, cfg)
+    w32B, metaB = pack_blocks(blocksB, cfg)
+    pkA = p1_call(jnp.asarray(w32A), jnp.asarray(metaA), cfg,
+                  interpret=True)
+    pkB = p1_call(jnp.asarray(w32B), jnp.asarray(metaB), cfg,
+                  interpret=True)
+    w32 = np.concatenate([w32A, w32B], axis=0)
+    pk = np.concatenate([np.asarray(pkA), np.asarray(pkB)], axis=0)
+    meta = np.concatenate([metaA, metaB])
+    tok = np.asarray(pA_call(jnp.asarray(w32), jnp.asarray(pk),
+                             jnp.asarray(meta), cfg, interpret=True,
+                             il=2))
+    TR = (_maxrows(cfg) + 1) * 8
+    for g, blocks in enumerate((blocksA, blocksB)):
+        got = unpack_tokens(tok[g * TR:(g + 1) * TR], cfg)
+        want = p2_reference(blocks, cfg)
+        for b in range(8):
+            assert got[b] == want[b], f"group {g} block {b}"
