@@ -74,10 +74,19 @@ class EncCfg:
     tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
                               # overflow -> host fallback, see pass A)
     lazy: bool = False        # one-step lazy match selection (pass A)
-    h5: bool = False          # second 5-byte-hash table; its verified
-                              # candidate wins (levels 12+: captures the
-                              # full dual-table ratio gain, pass A
-                              # untouched)
+    k5: int = 0               # 5-byte-hash tables: 0 = none; 1 = one
+                              # table whose verified candidate wins
+                              # (merged, pass A untouched); >= 2 = k5
+                              # rotating-slot tables (~"k5 latest" per
+                              # bucket) emitted as separate candidate
+                              # arrays — pass A extends every candidate
+                              # and keeps the longest (quality tiers,
+                              # levels 13+)
+
+    @property
+    def nmaps(self):
+        """Candidate arrays emitted by phase 1 / read by pass A."""
+        return 1 if self.k5 <= 1 else 1 + self.k5
 
     @property
     def nw(self):
@@ -132,8 +141,7 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
     cp_in.start()
     cp_in.wait()
 
-    ntabs = 2 if cfg.h5 else 1
-    table[:, :] = jnp.zeros((ntabs * ttiles * 8, 128), jnp.int32)
+    table[:, :] = jnp.zeros(((1 + cfg.k5) * ttiles * 8, 128), jnp.int32)
 
     nv = jnp.zeros((8, 128), jnp.int32)
     for b in range(8):
@@ -163,30 +171,31 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 
         ring[pl.ds((i & (RING - 1)) * 8, 8)] = w8.astype(jnp.int32)
 
-        ntab = 2 if cfg.h5 else 1
-        if cfg.h5:
+        k5 = cfg.k5
+        if k5:
             # 5-byte hash: the 5th byte is free (whi holds words W+1)
             b4 = _shr(whi.astype(jnp.uint32), sh) & 255
             h5v = (_shr((w8 ^ (b4 * jnp.uint32(H5MIX)))
                         * jnp.uint32(HMUL),
                         jnp.full((8, 128), 32 - cfg.hl, jnp.int32))
                    ).astype(jnp.int32)
-            hs_all = (h, h5v)
-        else:
-            hs_all = (h,)
 
-        # ---- lookup (per table) ---------------------------------------
-        accs = []
-        for t, h_t in enumerate(hs_all):
+        # ---- lookup: h4 table 0; h5 rotating slots are tables 1..k5 ---
+        def lookup(tix, h_t):
             hrow, hcol = h_t >> 7, h_t & 127
             acc = jnp.zeros((8, 128), jnp.int32)
             for k in range(ttiles):
-                g = _take(table[(t * ttiles + k) * 8:
-                                (t * ttiles + k + 1) * 8], hcol)
+                g = _take(table[(tix * ttiles + k) * 8:
+                                (tix * ttiles + k + 1) * 8], hcol)
                 acc = jnp.where(hrow == k, g, acc)
-            accs.append(acc)
+            return acc
 
-        # ---- verify (merged dynamic-reach funnel, all tables) ---------
+        accs = [lookup(0, h)]
+        for j in range(k5):
+            accs.append(lookup(1 + j, h5v))
+        nsets = len(accs)
+
+        # ---- verify (merged dynamic-reach funnel, all candidate sets) -
         # (lane_decode band_emit_all idiom): a static NEAR-tile walk
         # covers the common small offsets; one scalar reduce sizes the
         # far loop so a 64 KB maxoff costs only what the segment's
@@ -197,8 +206,8 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
         okds = [(acc > 0) & (o >= cfg.min_offset) & (o <= cfg.maxoff)
                 for acc, o in zip(accs, off0s)]
         W0s = [jnp.maximum(c0, 0) >> 2 for c0 in c0s]
-        a0s = [zt] * ntab
-        a1s = [zt] * ntab
+        a0s = [zt] * nsets
+        a1s = [zt] * nsets
         Ttop = i >> 2
         NEARV = min(ENC_NEAR + 1, cfg.nch)
 
@@ -226,7 +235,7 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 
         a0s, a1s = jax.lax.fori_loop(0, kfarv, vfar, (a0s, a1s))
         okTs = []
-        for t in range(ntab):
+        for t in range(nsets):
             sh2 = (jnp.maximum(c0s[t], 0) & 3) << 3
             wv = (_shr(a0s[t].astype(jnp.uint32), sh2)
                   | jnp.where(sh2 == 0, jnp.uint32(0),
@@ -250,23 +259,38 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
             ok = (best < 0) & (p - d >= 0) & (vd == w8i)
             best = jnp.where(ok, p - d, best)
 
-        if cfg.h5:
-            # the 5-byte table's verified candidate wins outright
+        emit_ok = (p < nv - MFLIMIT) & (nv >= LIZARD_MIN_LENGTH)
+        if k5 == 1:
+            # one merged array: the verified 5-byte candidate wins
             best = jnp.where(okTs[1], c0s[1], best)
+            bests = [best]
+        elif k5 >= 2:
+            bests = [best] + [jnp.where(okTs[1 + j], c0s[1 + j], -1)
+                              for j in range(k5)]
+        else:
+            bests = [best]
 
-        mask = (p < nv - MFLIMIT) & (nv >= LIZARD_MIN_LENGTH) & (best >= 0)
-        d16 = jnp.where(mask, p - best, 0)
-        dhalf = carry
+        dhalves = list(carry)
+        CR2 = cfg.nseg // 2 * 8
+        for m, bm in enumerate(bests):
+            mask = emit_ok & (bm >= 0)
+            d16 = jnp.where(mask, p - bm, 0)
 
-        @pl.when((i & 1) == 1)
-        def _():
-            packed[pl.ds((i >> 1) * 8, 8)] = dhalf | (d16 << 16)
+            @pl.when((i & 1) == 1)
+            def _(m=m, d16=d16):
+                packed[pl.ds(m * CR2 + (i >> 1) * 8, 8)] = \
+                    dhalves[m] | (d16 << 16)
 
-        # ---- insert (per table) ---------------------------------------
+            dhalves[m] = d16
+
+        # ---- insert (h4 always table 0; h5 the rotating slot) ---------
+        ins = [(h, 0)]
+        if k5:
+            ins.append((h5v, 1 + (i & (k5 - 1))))
         l256 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) * 256 + 1
         cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         tt64 = jax.lax.broadcasted_iota(jnp.int32, (trows, 128), 0)
-        for t, h_t in enumerate(hs_all):
+        for h_t, tix in ins:
             hnext = pltpu.roll(h_t, 127, 1)       # h[l+1] (wraps at 127)
             keep = ((lanes == 127) | (h_t != hnext)) & (p < nv)
             hins = jnp.where(keep, h_t, BIGSENT)
@@ -284,20 +308,22 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
                 newv = i * SEG + (C >> 8) + 1
                 cs[b * trows:(b + 1) * trows] = jnp.where(cnt == 1, newv, 0)
 
-            # apply: interleaved tile k rows = (k, b=0..7)
+            # apply: interleaved tile k rows = (tix*ttiles + k, b=0..7)
             for k in range(trows):
                 upd = jnp.zeros((8, 128), jnp.int32)
                 for b in range(8):
                     row = cs[b * trows + k:b * trows + k + 1, :]
                     upd = jnp.where(sub == b,
                                     jnp.broadcast_to(row, (8, 128)), upd)
-                r0 = (t * ttiles + k) * 8
-                old = table[r0:r0 + 8]
-                table[r0:r0 + 8] = jnp.where(upd > 0, upd, old)
-        return d16
+                r0 = (tix * ttiles + k) * 8
+                old = table[pl.ds(r0, 8)]
+                table[pl.ds(r0, 8)] = jnp.where(upd > 0, upd, old)
+        return tuple(dhalves)
 
     assert cfg.nseg % 2 == 0
-    jax.lax.fori_loop(0, cfg.nseg, body, jnp.zeros((8, 128), jnp.int32))
+    zi = jnp.zeros((8, 128), jnp.int32)
+    jax.lax.fori_loop(0, cfg.nseg, body,
+                      tuple(zi for _ in range(cfg.nmaps)))
 
     cp_out = pltpu.make_async_copy(packed, packed_hbm, sems.at[1])
     cp_out.start()
@@ -319,10 +345,11 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM(((2 if cfg.h5 else 1) * cfg.ttiles * 8, 128),
+            pltpu.VMEM(((1 + cfg.k5) * cfg.ttiles * 8, 128),
                        jnp.int32),
             pltpu.VMEM((RING * 8, 128), jnp.int32),
-            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nmaps * (cfg.nseg // 2) * 8, 128),
+                       jnp.int32),
             pltpu.VMEM((8 * cfg.ttiles, 128), jnp.int32),
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -331,7 +358,8 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cfg.nseg // 2 * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.nmaps * (cfg.nseg // 2) * 8, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, w32i)
@@ -377,7 +405,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
     sub = _iota0()
     nseg = cfg.nseg
     WR = (cfg.wtiles + 1) * 8           # w32 rows per group
-    CR = cfg.nseg // 2 * 8              # cand rows per group
+    CR2 = cfg.nseg // 2 * 8             # cand rows per map
+    CR = cfg.nmaps * CR2                # cand rows per group
     TR = (MAXROWS + 1) * 8              # tok rows per group
 
     cp0 = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
@@ -419,10 +448,15 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                         | jnp.where(sh == 0, jnp.uint32(0),
                                     _shl(whi.astype(jnp.uint32),
                                          (32 - sh) & 31)))
-            raw = cand[pl.ds(g * CR + (i >> 1) * 8, 8)]
-            drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
-            drows.append(drow)
-            valids.append(drow > 0)
+            dr = []
+            vu = None
+            for m in range(cfg.nmaps):
+                raw = cand[pl.ds(g * CR + m * CR2 + (i >> 1) * 8, 8)]
+                drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
+                dr.append(drow)
+                vu = (drow > 0) if vu is None else (vu | (drow > 0))
+            drows.append(dr)
+            valids.append(vu)
 
         gst = list(st[3:])
         for g in range(il):                  # pending needs one check
@@ -441,7 +475,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             return c & (it < nseg * 34)
 
         def group_step(g, cur, pend, ps, pd, pchk):
-            drow, valid = drows[g], valids[g]
+            dmaps, valid = drows[g], valids[g]
+            drow = dmaps[0]
             w8c, limv = w8cs[g], limvs[g]
 
             av = valid & (p >= cur)
@@ -458,6 +493,10 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             s_tok = jnp.where(ap, ps, s_new)
             d_tok = jnp.where(ap, pd, d_new)
             rel0 = jnp.where(ap, 0, sidx)
+            # the union lane may lack a map-0 candidate: the primary
+            # evaluation must not treat d=0 as a (trivially surviving)
+            # match — another map's candidate takes over in the pick
+            act0 = ap | (aq & (d_new > 0))
 
             def fetch(d_tok, active):
                 """xor of the segment's words vs bytes at (p - d_tok)."""
@@ -549,8 +588,31 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 surv = act & (xi >= 999)
                 return xi, ml, surv
 
-            xor = fetch(d_tok, active)
-            xi, ml, survived = evalcand(xor, s_tok, rel0, active)
+            xor = fetch(d_tok, act0)
+            xi, ml, survived = evalcand(xor, s_tok, rel0, act0)
+
+            if cfg.nmaps > 1:
+                # candidate pick across the k5-chain maps: extend every
+                # verified candidate at s, keep the strictly longest
+                # kernel-VISIBLE length (segment survivors compete with
+                # their guaranteed lower bound; earlier map wins ties)
+                v = jnp.where(survived, (128 - rel0) + 3,
+                              jnp.where(act0, ml, -1))
+                for m in range(1, cfg.nmaps):
+                    d_m = _take(dmaps[m], jnp.clip(sidx, 0, 127))
+                    act_m = aq & (d_m > 0)
+                    xor_m = fetch(d_m, act_m)
+                    xi_m, ml_m, surv_m = evalcand(xor_m, s_new, sidx,
+                                                  act_m)
+                    v_m = jnp.where(surv_m, (128 - sidx) + 3,
+                                    jnp.where(act_m, ml_m, -1))
+                    tk = v_m > v
+                    d_tok = jnp.where(tk, d_m, d_tok)
+                    xor = jnp.where(tk, xor_m, xor)
+                    xi = jnp.where(tk, xi_m, xi)
+                    ml = jnp.where(tk, ml_m, ml)
+                    survived = jnp.where(tk, surv_m, survived)
+                    v = jnp.where(tk, v_m, v)
 
             if cfg.lazy:
                 # one-step lazy (the fast parser's retry,
@@ -559,14 +621,31 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 # length beats this one's by > 1; a segment-surviving
                 # row competes with its guaranteed lower bound
                 rel2 = jnp.minimum(sidx + 1, 127)
+                s2 = X0 + rel2
                 d2 = _take(drow, rel2)
                 has2 = aq & (sidx < 127) & (d2 > 0)
                 xor2 = fetch(d2, has2)
-                s2 = X0 + rel2
                 xi2, ml2, surv2 = evalcand(xor2, s2, rel2, has2)
-                v1 = jnp.where(survived, (128 - rel0) + 3, ml)
                 v2 = jnp.where(surv2, (128 - rel2) + 3,
                                jnp.where(has2, ml2, -1))
+                for m in range(1, cfg.nmaps):
+                    d_m = _take(dmaps[m], rel2)
+                    act_m = aq & (sidx < 127) & (d_m > 0)
+                    xor_m = fetch(d_m, act_m)
+                    xi_m, ml_m, surv_m = evalcand(xor_m, s2, rel2,
+                                                  act_m)
+                    v_m = jnp.where(surv_m, (128 - rel2) + 3,
+                                    jnp.where(act_m, ml_m, -1))
+                    tk = v_m > v2
+                    d2 = jnp.where(tk, d_m, d2)
+                    has2 = has2 | act_m
+                    xor2 = jnp.where(tk, xor_m, xor2)
+                    xi2 = jnp.where(tk, xi_m, xi2)
+                    ml2 = jnp.where(tk, ml_m, ml2)
+                    surv2 = jnp.where(tk, surv_m, surv2)
+                    v2 = jnp.where(tk, v_m, v2)
+                v1 = jnp.where(survived, (128 - rel0) + 3,
+                               jnp.where(active, ml, -1))
                 take2 = has2 & (v2 > v1 + 1)
                 s_tok = jnp.where(take2, s2, s_tok)
                 d_tok = jnp.where(take2, d2, d_tok)
@@ -644,9 +723,11 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
     cp_out.wait()
 
 
-def unpack_d16(packed, cfg: EncCfg):
-    """Host: p1_call output -> (8, n) int64 match-distance map."""
-    pk = np.asarray(packed).reshape(cfg.nseg // 2, 8, 128)
+def unpack_d16(packed, cfg: EncCfg, m=0):
+    """Host: p1_call output -> (8, n) int64 match-distance map m."""
+    CR2 = cfg.nseg // 2 * 8
+    pk = np.asarray(packed)[m * CR2:(m + 1) * CR2].reshape(
+        cfg.nseg // 2, 8, 128)
     d = np.empty((cfg.nseg, 8, 128), np.int64)
     d[0::2] = pk & 0xFFFF
     d[1::2] = (pk >> 16) & 0xFFFF
@@ -683,7 +764,8 @@ def pA_call(w32i, cand_packed, meta, cfg: EncCfg, interpret=False, il=1):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((il * (cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM((il * (cfg.nseg // 2) * 8, 128), jnp.int32),
+            pltpu.VMEM((il * cfg.nmaps * (cfg.nseg // 2) * 8, 128),
+                       jnp.int32),
             pltpu.VMEM((il * (MAXROWS + 1) * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -956,11 +1038,16 @@ def cfg_for_level(level: int) -> EncCfg:
     small fast table; 11+ use the full 16-bit offset reach (measured
     +35% ratio on the bench corpus; the dynamic-reach chains keep the
     verify/extension cost proportional to offsets actually used)."""
-    if level % 10 == 0:
+    sub = level % 10
+    if sub == 0:
         return EncCfg()
-    if level % 10 == 1:
+    if sub == 1:
         return EncCfg(maxoff=65535, lazy=True)
-    return EncCfg(maxoff=65535, lazy=True, h5=True)
+    if sub == 2:
+        return EncCfg(maxoff=65535, lazy=True, k5=1)
+    if sub <= 4:
+        return EncCfg(maxoff=65535, lazy=True, k5=2)
+    return EncCfg(maxoff=65535, lazy=True, k5=4)
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
@@ -1106,7 +1193,10 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
                   | u8[2:cfg.n + 2].astype(np.uint32) << 16
                   | u8[3:cfg.n + 3].astype(np.uint32) << 24)
             db = dmap[b]
-            cpos = np.flatnonzero(db > 0)
+            if cfg.nmaps == 1:
+                db = db[None, :]
+            anyc = (db > 0).any(axis=0)
+            cpos = np.flatnonzero(anyc)
             lim = n - LASTLITERALS
             cur = 0
             ci = 0
@@ -1128,25 +1218,32 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             def ml_of(s, x):
                 return (lim - s) if x >= lim else min(x - s + 3, lim - s)
 
+            def pick(s, seg_end):
+                """Kernel candidate pick: strictly-longest VISIBLE
+                length wins (segment survivors show seg_end-s+3; the
+                earlier map wins ties). Returns (v, ml_full, d)."""
+                bv, bml, bd = -1, 0, 0
+                for row in db:
+                    if row[s] <= 0:
+                        continue
+                    d = int(row[s])
+                    x = mismatch_x(s, d)
+                    m = ml_of(s, x)
+                    v = (seg_end - s + 3) if x >= seg_end else m
+                    if v > bv:
+                        bv, bml, bd = v, m, d
+                return bv, bml, bd
+
             while ci < len(cpos):
                 ci = np.searchsorted(cpos, cur)
                 if ci >= len(cpos):
                     break
                 s = int(cpos[ci])
-                d = int(db[s])
                 seg_end = (s // SEG) * SEG + SEG
-                x1 = mismatch_x(s, d)
-                ml = ml_of(s, x1)
-                if (cfg.lazy and (s % SEG) < 127 and s + 1 < len(db)
-                        and db[s + 1] > 0):
-                    # kernel lazy rule: compare kernel-VISIBLE lengths;
-                    # a segment-surviving candidate shows only its
-                    # guaranteed lower bound (seg_end - start + 3)
-                    d2 = int(db[s + 1])
-                    x2 = mismatch_x(s + 1, d2)
-                    ml2 = ml_of(s + 1, x2)
-                    v1 = (seg_end - s + 3) if x1 >= seg_end else ml
-                    v2 = (seg_end - s - 1 + 3) if x2 >= seg_end else ml2
+                v1, ml, d = pick(s, seg_end)
+                if cfg.lazy and (s % SEG) < 127 and anyc[s + 1]:
+                    # kernel lazy rule: compare kernel-VISIBLE lengths
+                    v2, ml2, d2 = pick(s + 1, seg_end)
                     if v2 > v1 + 1:
                         s, d, ml = s + 1, d2, ml2
                 # back-extension (lizard_parser_fast.h:102): byte-wise
@@ -1164,13 +1261,16 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
 
 def p1_reference(blocks, cfg: EncCfg):
     """Bit-exact numpy mirror of the phase-1 kernel (the test oracle).
-    Returns ((8, n) int64 match-distance map, 0 = none; meta)."""
+    Returns (maps, meta): maps has shape (8, n) when cfg.nmaps == 1,
+    else (8, nmaps, n) — map 0 = h4+probes, maps 1..k5 = the rotating
+    5-byte-hash slots. 0 = no candidate, else the match distance."""
     u8 = np.zeros((8, cfg.n), np.uint8)
     meta = np.zeros((8,), np.int64)
     for b, d in enumerate(blocks):
         u8[b, :len(d)] = np.frombuffer(d, np.uint8)
         meta[b] = len(d)
-    out = np.zeros((8, cfg.n), np.int64)
+    nm = cfg.nmaps
+    out = np.zeros((8, nm, cfg.n), np.int64)
     for b in range(8):
         n = meta[b]
         wpad = np.zeros(cfg.n + 4, np.uint8)
@@ -1180,46 +1280,57 @@ def p1_reference(blocks, cfg: EncCfg):
               | wpad[2:cfg.n + 2].astype(np.uint32) << 16
               | wpad[3:cfg.n + 3].astype(np.uint32) << 24)
         # kernel funnel: word W and W+1 with W+1 clamped to the last
-        # word of the LAST TILE (wtiles*128-1); positions whose W+1
-        # exceeds it read the clamped tile -- only affects p >= n-3
-        # which is masked out anyway (n - MFLIMIT).
+        # word of the LAST TILE; only affects p >= n-3, masked anyway
         h = ((w8 * np.uint32(HMUL)) >> np.uint32(32 - cfg.hl)).astype(
             np.int64)
-        hs_all = [h]
-        if cfg.h5:
+        k5 = cfg.k5
+        if k5:
             b4 = wpad[4:cfg.n + 4].astype(np.uint32)     # byte at p+4
             h5v = (((w8 ^ (b4 * np.uint32(H5MIX))) * np.uint32(HMUL))
                    >> np.uint32(32 - cfg.hl)).astype(np.int64)
-            hs_all.append(h5v)
-        tables = [np.zeros(1 << cfg.hl, np.int64) for _ in hs_all]
-        cand = np.zeros(cfg.n, np.int64)
+        t4 = np.zeros(1 << cfg.hl, np.int64)
+        t5 = [np.zeros(1 << cfg.hl, np.int64) for _ in range(k5)]
         pos = np.arange(cfg.n)
+        emit = np.zeros((nm, cfg.n), np.int64)
         for i in range(cfg.nseg):
             seg = slice(i * SEG, (i + 1) * SEG)
             ps = pos[seg]
-            okTs, c0s = [], []
-            for t, h_t in enumerate(hs_all):
-                v = tables[t][h_t[seg]]
+
+            def probe_tab(tab, h_t):
+                v = tab[h_t[seg]]
                 c0 = v - 1
                 off = ps - c0
-                okTs.append(
-                    (v > 0) & (w8[np.clip(c0, 0, cfg.n - 1)] == w8[seg])
-                    & (off >= cfg.min_offset) & (off <= cfg.maxoff))
-                c0s.append(c0)
-            best = np.where(okTs[0], c0s[0], -1)
+                ok = ((v > 0)
+                      & (w8[np.clip(c0, 0, cfg.n - 1)] == w8[seg])
+                      & (off >= cfg.min_offset) & (off <= cfg.maxoff))
+                return ok, c0
+
+            ok4, c4 = probe_tab(t4, h)
+            best = np.where(ok4, c4, -1)
             for d in cfg.probes:
                 c = ps - d
                 ok = (best < 0) & (c >= 0) & (
                     w8[np.clip(c, 0, cfg.n - 1)] == w8[seg])
                 best = np.where(ok, c, best)
-            if cfg.h5:
-                best = np.where(okTs[1], c0s[1], best)
-            mask = ((ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
-                    & (best >= 0))
-            cand[seg] = np.where(mask, ps - best, 0)
+            oks5 = [probe_tab(t5[j], h5v) for j in range(k5)]
+            if k5 == 1:
+                best = np.where(oks5[0][0], oks5[0][1], best)
+                bests = [best]
+            elif k5 >= 2:
+                bests = [best] + [np.where(ok, c0, -1)
+                                  for ok, c0 in oks5]
+            else:
+                bests = [best]
+            emit_ok = (ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
+            for m, bm in enumerate(bests):
+                emit[m][seg] = np.where(emit_ok & (bm >= 0), ps - bm, 0)
             # insert: adjacent dedupe (keep last of each run; lane 127
-            # always kept), duplicates after dedupe keep the OLD entry
-            for t, h_t in enumerate(hs_all):
+            # always kept), duplicates after dedupe keep the OLD entry;
+            # the h5 tables take turns (rotating slot i mod k5)
+            ins = [(h, t4)]
+            if k5:
+                ins.append((h5v, t5[i & (k5 - 1)]))
+            for h_t, tab in ins:
                 hs = h_t[seg]
                 keep = np.ones(SEG, bool)
                 keep[:-1] = hs[:-1] != hs[1:]
@@ -1230,6 +1341,8 @@ def p1_reference(blocks, cfg: EncCfg):
                 lastp = np.zeros(len(uniq), np.int64)
                 lastp[inv] = pk                 # later writes win
                 one = cnt == 1
-                tables[t][uniq[one]] = lastp[one] + 1
-        out[b] = cand
+                tab[uniq[one]] = lastp[one] + 1
+        out[b] = emit
+    if nm == 1:
+        return out[:, 0], meta
     return out, meta

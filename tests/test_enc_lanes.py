@@ -333,7 +333,7 @@ def test_p1_h5_dual_table_matches_reference():
     import dataclasses
     import jax.numpy as jnp
     from lizard_tpu.ops.enc_lanes import unpack_d16
-    cfg = dataclasses.replace(CFG, h5=True, lazy=True)
+    cfg = dataclasses.replace(CFG, k5=1, lazy=True)
     blocks = _mk_blocks(71)
     w32i, meta = pack_blocks(blocks, cfg)
     packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
@@ -379,3 +379,34 @@ def test_passA_il2_matches_reference():
         want = p2_reference(blocks, cfg)
         for b in range(8):
             assert got[b] == want[b], f"group {g} block {b}"
+
+
+def test_p1_passA_k5_chain_matches_reference():
+    """k5=2 rotating-slot chain: phase 1 maps and the multi-candidate
+    parse must both be exact vs the mirrors, and round-trip."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import (pA_call, p2_reference,
+                                          unpack_tokens, unpack_d16,
+                                          encode_blocks_lanes)
+    cfg = dataclasses.replace(CFG, k5=2, lazy=True)
+    blocks = _mk_blocks(91)
+    w32i, meta = pack_blocks(blocks, cfg)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                     interpret=True)
+    ref, _ = p1_reference(blocks, cfg)          # (8, 3, n)
+    for m in range(cfg.nmaps):
+        got = unpack_d16(packed, cfg, m=m)
+        assert np.array_equal(got, ref[:, m]), f"map {m}"
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+                  interpret=True)
+    got = unpack_tokens(tok, cfg)
+    want = p2_reference(blocks, cfg, dmap=ref)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"block {b}: {len(got[b])} vs {len(want[b])}; first diff: "
+            f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
+    from lizard_tpu.ref.block_decode import decompress
+    encs = encode_blocks_lanes(blocks, level=14, cfg=cfg, interpret=True)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
