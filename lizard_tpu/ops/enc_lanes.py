@@ -1001,10 +1001,6 @@ def assemble_block(data, flags, lits, off16=b"", huff=False):
     return bytes(body)
 
 
-def _assemble_liz(data, flags, lits, off16, huff=False):
-    return assemble_block(data, flags, lits, off16, huff)
-
-
 def _minimal_block_gain(comp_len):
     from lizard_tpu.format.constants import minimal_block_gain
     return minimal_block_gain(comp_len)

@@ -28,8 +28,15 @@ def main():
 
     mb = int(os.environ.get("PROBE_MB", "16"))
     what = os.environ.get("ENC_WHAT", "both")
-    cfg = EncCfg(hl=int(os.environ.get("ENC_HL", "13")),
-                 maxoff=int(os.environ.get("ENC_MAXOFF", "16383")))
+    lvl = os.environ.get("ENC_LEVEL")
+    if lvl is not None:
+        from lizard_tpu.ops.enc_lanes import cfg_for_level
+        cfg = cfg_for_level(int(lvl))
+    else:
+        cfg = EncCfg(hl=int(os.environ.get("ENC_HL", "13")),
+                     maxoff=int(os.environ.get("ENC_MAXOFF", "16383")),
+                     lazy=os.environ.get("ENC_LAZY", "0") == "1",
+                     k5=int(os.environ.get("ENC_K5", "0")))
     N = cfg.n
     data = build_corpus(mb << 20)
     blocks = [data[i:i + N] for i in range(0, len(data), N)]
@@ -90,8 +97,8 @@ def main():
                 d = blocks[g * 8 + k]
                 st, ml, off = arrs[k]
                 flags, lits = emit_tokens(d, st, ml, off)
-                from lizard_tpu.ops.encode_tpu import _assemble
-                e = _assemble(d, flags, len(flags), lits, len(lits))
+                from lizard_tpu.ops.enc_lanes import assemble_block
+                e = assemble_block(d, flags, lits, b"")
                 tot_in += len(d)
                 tot_out += len(e)
                 if g == 0 and k < 2:
