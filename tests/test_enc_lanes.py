@@ -410,3 +410,42 @@ def test_p1_passA_k5_chain_matches_reference():
     encs = encode_blocks_lanes(blocks, level=14, cfg=cfg, interpret=True)
     for d, e in zip(blocks, encs):
         assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+@pytest.mark.parametrize("combo", [
+    dict(lazy=True, k5=0, maxoff=2047),
+    dict(lazy=False, k5=1, maxoff=2047),
+    dict(lazy=True, k5=2, maxoff=1023),
+    dict(lazy=True, k5=4, maxoff=2047),
+])
+def test_passA_cfg_sweep(combo):
+    """Kernel/mirror token parity across tier-parameter combinations on
+    adversarial inputs (runs, periodicity, block-tail edges)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import (pA_call, p2_reference,
+                                          unpack_tokens)
+    cfg = dataclasses.replace(CFG, **combo)
+    rng = np.random.default_rng(combo["k5"] * 7 + combo["maxoff"])
+    from lizard_tpu.utils.datagen import gen, text_like
+    blocks = [
+        gen(CFG.n, 1, proba=0.8),
+        text_like(CFG.n - 1, 2),
+        bytes(np.tile(np.frombuffer(b"abcdefgh", np.uint8), CFG.n // 8)),
+        (b"A" * 200 + bytes(rng.integers(0, 256, 57, np.uint8))) * 20,
+        gen(CFG.n // 2 + 21, 3, proba=0.3),
+        bytes(rng.integers(0, 4, CFG.n, np.uint8)),     # tiny alphabet
+        gen(127, 4, proba=0.7),
+        b"\x00" * (CFG.n // 4),
+    ]
+    w32i, meta = pack_blocks(blocks, cfg)
+    pk = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                 interpret=True)
+    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg,
+                  interpret=True)
+    got = unpack_tokens(tok, cfg)
+    want = p2_reference(blocks, cfg)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"{combo} block {b}: first diff "
+            f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
