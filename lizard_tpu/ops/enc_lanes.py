@@ -41,7 +41,7 @@ lizard_compress_lz4.h:3-71.
 """
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
