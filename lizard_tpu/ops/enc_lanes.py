@@ -30,14 +30,21 @@ Phase 1 (this kernel) per segment:
      keep the OLD entry -- never garbage (probe_enc_scheme2.py showed
      garbage entries cost +5.5% ratio).
 
-Output: packed (nseg/2*8, 128) candidate array, two segments per row:
-bits [0,16) = match DISTANCE d at even segment positions, bits [16,32)
-the odd segment (0 = no candidate; d <= maxoff < 2^16). Consumed by
-pass A (the parse).
+Phase-1 output: cfg.nmaps d16-packed candidate arrays, row-stacked
+((nmaps*nseg/2*8, 128): two segments per row, bits [0,16) = match
+DISTANCE at even segments, [16,32) odd; 0 = none; d <= maxoff < 2^16).
+Map 0 merges the h4 table + probe ladder (and, at k5=1, the verified
+5-byte-hash winner); maps 1..k5 are the rotating-slot 5-byte-hash
+chain (quality tiers, cfg_for_level).
+
+Pass A (the parse) and pass B (host emission for all four level
+families) follow below; the whole pipeline is token-exact against the
+numpy mirrors (p1_reference/p2_reference).
 
 Reference parity: the scheme replaces lib/lizard_parser_fast.h:41-196's
-serial hash-table walk; stream layout produced by phase 2 matches
-lizard_compress_lz4.h:3-71.
+serial hash-table walk (back-extension :102, lazy retry :146-181);
+emitted stream layouts match lizard_compress_lz4.h:3-71 and
+lizard_compress_liz.h:43-165.
 """
 
 import functools
