@@ -1094,8 +1094,8 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
                      pA_call(w32j, cands, metaj, cfg,
                              interpret=interpret, il=il)))
     for base, part, tok in jobs:
-        tok = np.asarray(tok)
         try:
+            tok = np.asarray(tok)
             arrs = []
             for g in range((len(part) + 7) // 8):
                 arrs.extend(unpack_token_arrays(
@@ -1103,6 +1103,14 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
         except TokenOverflow:
             # pathological token density blew the capped buffer: this
             # group re-encodes through the host fallback
+            for k, d in enumerate(part):
+                res[base + k] = _fallback_inner(d, level)
+            continue
+        except Exception:
+            if interpret:
+                raise              # tests must see real failures
+            # device-side failure (e.g. VMEM pressure at a deep tier):
+            # keep the compression call alive via the host fallback
             for k, d in enumerate(part):
                 res[base + k] = _fallback_inner(d, level)
             continue
