@@ -449,3 +449,18 @@ def test_passA_cfg_sweep(combo):
         assert got[b] == want[b], (
             f"{combo} block {b}: first diff "
             f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
+
+
+def test_lane_frame_corruption_detected():
+    """Corrupting a lanes-compressed frame must raise, not decode."""
+    import pytest
+    from lizard_tpu.frame import compress_frame_tpu, decompress_frame, \
+        FrameError
+    from lizard_tpu.utils.datagen import gen
+    d = gen(60000, 99, proba=0.6)
+    f = bytearray(compress_frame_tpu(d, level=12, engine="lanes"))
+    f[len(f) // 2] ^= 0x41
+    with pytest.raises((FrameError, ValueError)):
+        out = decompress_frame(bytes(f))
+        if out != d:                     # corrupt-but-decodable payload
+            raise ValueError("content checksum mismatch")
