@@ -80,7 +80,8 @@ class EncCfg:
                      384, 512, 768, 1024)
     tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
                               # overflow -> host fallback, see pass A)
-    lazy: bool = False        # one-step lazy match selection (pass A)
+    lazy: int = 0             # lazy look-ahead steps in pass A (0-2);
+                              # True == 1 (bool-compatible)
     k5: int = 0               # 5-byte-hash tables: 0 = none; 1 = one
                               # table whose verified candidate wins
                               # (merged, pass A untouched); >= 2 = k5
@@ -621,23 +622,30 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     survived = jnp.where(tk, surv_m, survived)
                     v = jnp.where(tk, v_m, v)
 
-            if cfg.lazy:
-                # one-step lazy (the fast parser's retry,
-                # lizard_parser_fast.h:146-181 analog): if position s+1
-                # also has a candidate, take it iff its kernel-visible
-                # length beats this one's by > 1; a segment-surviving
-                # row competes with its guaranteed lower bound
-                rel2 = jnp.minimum(sidx + 1, 127)
+            # lazy look-ahead (the fast parser's retry,
+            # lizard_parser_fast.h:146-181 analog): positions
+            # sidx+1..sidx+steps are evaluated across all maps; a later
+            # candidate takes over iff its kernel-visible length beats
+            # the current one's by more than the literal gap it skips
+            # (segment survivors compete with their guaranteed bound)
+            if cfg.nmaps > 1:
+                vcur = v           # tracked through the candidate pick
+            else:
+                vcur = jnp.where(survived, (128 - rel0) + 3,
+                                 jnp.where(act0, ml, -1))
+            for step in range(1, int(cfg.lazy) + 1):
+                rel2 = jnp.minimum(sidx + step, 127)
                 s2 = X0 + rel2
+                okstep = aq & (sidx < 128 - step)
                 d2 = _take(drow, rel2)
-                has2 = aq & (sidx < 127) & (d2 > 0)
+                has2 = okstep & (d2 > 0)
                 xor2 = fetch(d2, has2)
                 xi2, ml2, surv2 = evalcand(xor2, s2, rel2, has2)
                 v2 = jnp.where(surv2, (128 - rel2) + 3,
                                jnp.where(has2, ml2, -1))
                 for m in range(1, cfg.nmaps):
                     d_m = _take(dmaps[m], rel2)
-                    act_m = aq & (sidx < 127) & (d_m > 0)
+                    act_m = okstep & (d_m > 0)
                     xor_m = fetch(d_m, act_m)
                     xi_m, ml_m, surv_m = evalcand(xor_m, s2, rel2,
                                                   act_m)
@@ -651,9 +659,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     ml2 = jnp.where(tk, ml_m, ml2)
                     surv2 = jnp.where(tk, surv_m, surv2)
                     v2 = jnp.where(tk, v_m, v2)
-                v1 = jnp.where(survived, (128 - rel0) + 3,
-                               jnp.where(active, ml, -1))
-                take2 = has2 & (v2 > v1 + 1)
+                take2 = has2 & (v2 > vcur + (rel2 - rel0))
                 s_tok = jnp.where(take2, s2, s_tok)
                 d_tok = jnp.where(take2, d2, d_tok)
                 rel0 = jnp.where(take2, rel2, rel0)
@@ -661,6 +667,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 xi = jnp.where(take2, xi2, xi)
                 ml = jnp.where(take2, ml2, ml)
                 survived = jnp.where(take2, surv2, survived)
+                vcur = jnp.where(take2, v2, vcur)
 
             found = active & ~survived
 
@@ -1048,12 +1055,12 @@ def cfg_for_level(level: int) -> EncCfg:
         # the 16 KB-reach variant (0.5832) would trail it
         return EncCfg(maxoff=65535)
     if sub == 1:
-        return EncCfg(maxoff=65535, lazy=True)
+        return EncCfg(maxoff=65535, lazy=1)
     if sub == 2:
-        return EncCfg(maxoff=65535, lazy=True, k5=1)
+        return EncCfg(maxoff=65535, lazy=1, k5=1)
     if sub <= 4:
-        return EncCfg(maxoff=65535, lazy=True, k5=2)
-    return EncCfg(maxoff=65535, lazy=True, k5=4)
+        return EncCfg(maxoff=65535, lazy=2, k5=2)
+    return EncCfg(maxoff=65535, lazy=2, k5=4)
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
@@ -1255,11 +1262,14 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
                 s = int(cpos[ci])
                 seg_end = (s // SEG) * SEG + SEG
                 v1, ml, d = pick(s, seg_end)
-                if cfg.lazy and (s % SEG) < 127 and anyc[s + 1]:
-                    # kernel lazy rule: compare kernel-VISIBLE lengths
-                    v2, ml2, d2 = pick(s + 1, seg_end)
-                    if v2 > v1 + 1:
-                        s, d, ml = s + 1, d2, ml2
+                s0 = s
+                for step in range(1, int(cfg.lazy) + 1):
+                    # kernel lazy rule: kernel-VISIBLE lengths, later
+                    # candidate must win by more than the skipped gap
+                    if (s0 % SEG) < 128 - step and anyc[s0 + step]:
+                        v2, ml2, d2 = pick(s0 + step, seg_end)
+                        if v2 > v1 + (s0 + step - s):
+                            s, d, ml, v1 = s0 + step, d2, ml2, v2
                 # back-extension (lizard_parser_fast.h:102): byte-wise
                 # while above the anchor and the window base; the lane
                 # kernel additionally floors at the segment start
