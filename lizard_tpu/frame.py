@@ -468,17 +468,17 @@ def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
     (lizard_tpu/ops/lane_decode.py). Every blockIndependent frame block is
     an independent chain, decoded 128-at-a-time.
 
-    Eligible frames: blockIndependent; fastLZ4-family levels at any block
-    size (offsets are LE16), LIZv1-family levels at blockSizeID 1 (128 KB
-    reach fits the in-VMEM ring). Raises FrameError for ineligible frames
-    (callers fall back to the scalar/XLA paths)."""
+    Eligible frames: blockIndependent, both codeword families at any block
+    size (LIZv1 frame blocks > 128 KB decode as chained inner blocks; far
+    matches are served from the kernel's HBM-staged far window). Raises
+    FrameError for ineligible frames (callers fall back to the scalar/XLA
+    paths)."""
     from lizard_tpu.format.levels import Codewords
     from lizard_tpu.ops.lane_decode import decompress_lanes
 
     info = parse_frame_header(src)
     if info.block_linked:
         raise FrameError("lane path requires blockIndependent frames")
-    max_block = LIZARDF_BLOCK_SIZES[info.block_size_id]
     p = info.header_size
     entries = []   # ("stored", bytes) | ("stream", index)
     streams = []
@@ -509,9 +509,6 @@ def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
             raise FrameError("mixed codeword families")
         entries.append(("stream", len(streams)))
         streams.append(blob)
-    if family == Codewords.LIZv1 and max_block > 131072:
-        raise FrameError("LIZv1 lane path requires blockSize <= 128 KB")
-
     decoded = decompress_lanes(streams, interpret=interpret,
                                **lane_kw) if streams else []
     out = bytearray()

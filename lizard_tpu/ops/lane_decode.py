@@ -102,6 +102,14 @@ BLOCK_OUT = 131072
 
 CARRY_BIT = 1 << 24          # literal enc: bit 24 = serve from carry window
 POS_MASK = CARRY_BIT - 1
+FAR_BIT = 1 << 26            # enc: byte staged in the far window (LIZv1
+                             # matches reaching beyond the in-VMEM ring, up
+                             # to the format's 16 MB window); low bits =
+                             # entry*512 + offset-within-tile
+NFENT = 8                    # far-window entries (512 B output tiles DMAd
+                             # back from flushed HBM output) per slot per
+                             # band; bands needing more flag the block for
+                             # host fallback
 
 _MASK_B = NT_B * 512 - 1
 _MASK_P = NT_P * 512 - 1
@@ -260,7 +268,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                  pool_hbm, meta_ref, out_hbm,
                  ring, pback, cback, fback, o16back, o24back,
                  pfront, cfront, o16front, o24front, ffront,
-                 bounce, ltile, trk, sems):
+                 bounce, ltile, fwin, fmeta, trk, sems):
     """family: 0 = fastLZ4 codewords, 1 = LIZv1 codewords."""
     liz = family == 1
     gi = pl.program_id(0)
@@ -278,8 +286,9 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
     # per-group state tuple layout
     #  0 alive  1 cur_ll  2 cur_ml  3 cur_off  4 cur_am  5 cur_src
     #  6 lit_p  7 flag_p  8 lit_len 9 flag_len 10 lit_row0 11 flag_row0
-    # 12 emitted [13 p16 14 p24 15 last_off 16 o16_row0 17 o24_row0]
-    NG = 18 if liz else 13
+    # 12 emitted [13 p16 14 p24 15 last_off 16 o16_row0 17 o24_row0
+    # 18 far_ovf (sticky per block: band wanted > NFENT far entries)]
+    NG = 19 if liz else 13
 
     def super_body(pair, st):
         sup = pair * SUP_TILES
@@ -291,7 +300,10 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
         @pl.when(at_boundary & (sup > 0))
         def _():
             for i in range(il):
-                ltile[pl.ds(i * 8, 8), :] = gs[i][12]
+                v = gs[i][12]
+                if liz:    # far-entry overflow: flag the block (len = -1)
+                    v = jnp.where(gs[i][18] != 0, -1, v)
+                ltile[pl.ds(i * 8, 8), :] = v
             for i in range(il):
                 cp = pltpu.make_async_copy(
                     ltile.at[pl.ds(i * 8, 8)],
@@ -316,7 +328,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 if liz:
                     o16r = _meta_row(meta_ref, 4 * C + c, g0 + i)
                     o24r = _meta_row(meta_ref, 5 * C + c, g0 + i)
-                    base = base + (z, z, z, o16r, o24r)
+                    base = base + (z, z, z, o16r, o24r, z)
                 return base
 
             def no_transition(_, t=gs[i]):
@@ -466,7 +478,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             fb_24 = p24 & ~511
             return fb_p, fb_c, fb_f, covered, fb_16, fb_24
 
-        def band_emit_all(ctxs, band_rp, rt_h, all_encs):
+        def band_emit_all(ctxs, band_rp, rt_h, all_encs, far_any):
             """Materialize every group's BAND-byte band and pack it into
             TPB (8,128) i32 word tiles. Ring bytes are fetched by ONE
             fused dynamic-reach chain: walk back only as many ring tiles
@@ -527,9 +539,31 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             for i in range(il):
                 fb_p, fb_c = ctxs[i][0], ctxs[i][1]
                 accs = [z] * TPB
+                if liz:
+                    # far bytes: lane-gather from the DMA-staged far window
+                    # (skipped entirely on far-free bands)
+                    def get_far(_, i=i):
+                        got = []
+                        for j in range(NP):
+                            e = all_encs[i][j]
+                            fidx = e & (NFENT * 512 - 1)
+                            w = _gchain(fwin, i * NFENT, fidx >> 2, NFENT)
+                            got.append((_shr(w.astype(jnp.uint32),
+                                             (fidx & 3) << 3)
+                                        & 255).astype(jnp.int32))
+                        return tuple(got)
+                    fbytes = jax.lax.cond(
+                        far_any[i], get_far,
+                        lambda _: tuple(z for _ in range(NP)), 0)
                 for j in range(NP):
                     enc = all_encs[i][j]
-                    is_lit = enc >= 0
+                    nonneg = enc >= 0
+                    if liz:
+                        is_far = nonneg & ((enc & FAR_BIT) != 0)
+                        is_lit = nonneg & ((enc & FAR_BIT) == 0)
+                    else:
+                        is_far = None
+                        is_lit = nonneg
                     from_carry = is_lit & ((enc & CARRY_BIT) != 0)
                     pos = enc & POS_MASK
                     if _ABL == "emitnolit":
@@ -544,6 +578,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     rbyte = (_shr(rws[i * NP + j].astype(jnp.uint32),
                                   (rpos & 3) << 3) & 255).astype(jnp.int32)
                     band = jnp.where(is_lit, lv & 255, rbyte)
+                    if liz:
+                        band = jnp.where(is_far, fbytes[j], band)
 
                     p1 = band | _shl(
                         pltpu.roll(band, 127, 1).astype(jnp.uint32),
@@ -1033,7 +1069,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                                   masksl[i], encs))
             return tuple(out)
 
-        def one_band_scan(carries, band_rp, rt_h, B):
+        def one_band_scan(carries, band_rp, rt_h, B, abs_t):
             ctxs = []
             flat = []
             z = jnp.zeros((8, 128), jnp.int32)
@@ -1104,7 +1140,113 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             all_encs = [[es[i * NP + j] for j in range(NP)]
                         for i in range(il)]
 
-            tiles = band_emit_all(ctxs, band_rp, rt_h, all_encs)
+            # ---- far matches (LIZv1 only): sources beyond the ring's
+            # reach live in already-flushed HBM output. Rewrite their encs
+            # to FAR_BIT | entry*512 + sub, record each slot's distinct
+            # source tiles, DMA those rows back into the far window, and
+            # let band_emit_all serve them from there. Slots needing more
+            # than NFENT entries in one band set the sticky far_ovf flag
+            # (block reported len = -1 -> host fallback).
+            far_any = [None] * il
+            ovfs = [None] * il
+            if liz:
+                RING_REACH = (rtiles - 1) * 512
+                idx127 = jnp.full((8, 128), 127, jnp.int32)
+                nf = jnp.int32(0)
+                for i in range(il):
+                    encs_i = all_encs[i]
+                    fms = [e < -RING_REACH for e in encs_i]
+                    af = fms[0]
+                    for m in fms[1:]:
+                        af = af | m
+                    af_any = jnp.any(af)
+                    far_any[i] = af_any
+
+                    def do_far(encs_t, i=i, fms=fms):
+                        base = jnp.zeros((8, 128), jnp.int32)
+                        p_last_t = jnp.full((8, 128), -2, jnp.int32)
+                        p_last_f = jnp.zeros((8, 128), jnp.int32)
+                        eids, tils, vals, news = [], [], [], []
+                        for j in range(NP):
+                            e = encs_t[j]
+                            m = fms[j]
+                            mi = m.astype(jnp.int32)
+                            asrc = jnp.maximum(abs_t * 512 + e, 0)
+                            tile = asrc >> 9
+                            sub = asrc & 511
+                            pt = jnp.where(lanes == 0, p_last_t,
+                                           pltpu.roll(tile, 1, 1))
+                            pf = jnp.where(lanes == 0, p_last_f,
+                                           pltpu.roll(mi, 1, 1))
+                            marker = (mi != 0) & ((pf == 0) | (pt != tile))
+                            eid = base + _prefix_incl(
+                                marker.astype(jnp.int32)) - 1
+                            base = base + jnp.broadcast_to(
+                                jnp.sum(marker.astype(jnp.int32), axis=1,
+                                        keepdims=True), (8, 128))
+                            p_last_t = jnp.take_along_axis(tile, idx127, 1)
+                            p_last_f = jnp.take_along_axis(mi, idx127, 1)
+                            valid = m & (eid < NFENT)
+                            news.append(jnp.where(
+                                valid, FAR_BIT | (eid * 512 + sub), e))
+                            eids.append(eid)
+                            tils.append(tile)
+                            vals.append(valid)
+                        ovf = (base > NFENT).astype(jnp.int32)
+                        M = jnp.full((8, 128), -1, jnp.int32)
+                        for k in range(NFENT):
+                            vk = jnp.full((8, 1), -1, jnp.int32)
+                            for j in range(NP):
+                                vk = jnp.maximum(vk, jnp.max(
+                                    jnp.where(vals[j] & (eids[j] == k),
+                                              tils[j], -1),
+                                    axis=1, keepdims=True))
+                            M = jnp.where(lanes == k,
+                                          jnp.broadcast_to(vk, (8, 128)), M)
+                        return tuple(news) + (ovf, M)
+
+                    def no_far(encs_t):
+                        return tuple(encs_t) + (
+                            jnp.zeros((8, 128), jnp.int32),
+                            jnp.full((8, 128), -1, jnp.int32))
+
+                    res = jax.lax.cond(af_any, do_far, no_far,
+                                       tuple(encs_i))
+                    all_encs[i] = list(res[:NP])
+                    ovfs[i] = res[NP]
+                    M = res[NP + 1]
+                    fmeta[pl.ds(i * 8, 8), :] = M
+                    nf = nf + jnp.sum(jnp.where(lanes < NFENT,
+                                                (M >= 0).astype(jnp.int32),
+                                                0))
+                for i in range(il):
+                    @pl.when(far_any[i])
+                    def _(i=i):
+                        def per_slot(s8, k):
+                            for q in range(NFENT):
+                                tk = fmeta[i * 8 + s8, q]
+
+                                @pl.when(tk >= 0)
+                                def _():
+                                    cp = pltpu.make_async_copy(
+                                        out_hbm.at[pl.ds(
+                                            ((g0 + i) * T + tk) * 8 + s8,
+                                            1)],
+                                        fwin.at[pl.ds(
+                                            (i * NFENT + q) * 8 + s8, 1)],
+                                        sems.at[3])
+                                    cp.start()
+                            return k
+                        jax.lax.fori_loop(0, 8, per_slot, 0)
+
+                def fwait(k, x):
+                    pltpu.make_async_copy(
+                        out_hbm.at[pl.ds(0, 1)], fwin.at[pl.ds(0, 1)],
+                        sems.at[3]).wait()
+                    return x
+                jax.lax.fori_loop(0, nf, fwait, 0)
+
+            tiles = band_emit_all(ctxs, band_rp, rt_h, all_encs, far_any)
             new_carries = []
             for i in range(il):
                 s = flat[i * NSC:(i + 1) * NSC]
@@ -1112,17 +1254,18 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 nc = (s[0], s[1], s[2], s[3], s[4], s[5] & POS_MASK,
                       s[6], s[7], emitted)
                 if liz:
-                    nc = nc + (s[9 + NP], s[10 + NP], s[11 + NP])
+                    nc = nc + (s[9 + NP], s[10 + NP], s[11 + NP],
+                               carries[i][12] | ovfs[i])
                 new_carries.append(nc)
             return new_carries, tiles
 
         # carries layout: 0 alive 1 cur_ll 2 cur_ml 3 cur_off 4 cur_am
         #                 5 cur_src 6 lit_p 7 flag_p 8 emitted
-        #                 [9 p16 10 p24 11 last_off]
+        #                 [9 p16 10 p24 11 last_off 12 far_ovf]
         def g_to_carry(g):
             cr = g[:8] + (g[12],)
             if liz:
-                cr = cr + (g[13], g[14], g[15])
+                cr = cr + (g[13], g[14], g[15], g[18])
             return cr
 
         carries = [g_to_carry(g) for g in gs]
@@ -1135,7 +1278,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             for tp in range(1, TPB):
                 rts.append(jnp.where(rts[-1] + 1 >= rtiles, 0, rts[-1] + 1))
             B = (sup_h - c * spb) * 512   # block-relative band base (bytes)
-            carries, tiles = one_band_scan(carries, rp_h, rt_h, B)
+            carries, tiles = one_band_scan(carries, rp_h, rt_h, B, sup_h)
             # drain the PREVIOUS band's flush DMAs before reusing sems
             @pl.when(sup_h > 0)
             def _():
@@ -1163,7 +1306,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             cr = carries[i]
             g = cr[:8] + (gs[i][8], gs[i][9], gs[i][10], gs[i][11], cr[8])
             if liz:
-                g = g + (cr[9], cr[10], cr[11], gs[i][16], gs[i][17])
+                g = g + (cr[9], cr[10], cr[11], gs[i][16], gs[i][17],
+                         cr[12])
             out_gs.append(g)
 
         rp2 = rp + SUP_TILES * 512
@@ -1173,7 +1317,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
     z = jnp.zeros((8, 128), jnp.int32)
     g_init = (z, z, z, z + 1, z, z, z, z, z, z, z, z, z)
     if liz:
-        g_init = g_init + (z, z, z, z, z)
+        g_init = g_init + (z, z, z, z, z, z)
     st = (tuple(g_init for _ in range(il)), jnp.int32(0))
     gs_fin, rp_fin = jax.lax.fori_loop(0, T // SUP_TILES, super_body, st)
 
@@ -1184,7 +1328,10 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 out_hbm.at[pl.ds(0, 8)],
                 sems.at[2]).wait()
     for i in range(il):
-        ltile[pl.ds(i * 8, 8), :] = gs_fin[i][12]
+        vfin = gs_fin[i][12]
+        if liz:
+            vfin = jnp.where(gs_fin[i][18] != 0, -1, vfin)
+        ltile[pl.ds(i * 8, 8), :] = vfin
     for i in range(il):
         cp = pltpu.make_async_copy(
             ltile.at[pl.ds(i * 8, 8)],
@@ -1225,8 +1372,10 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, family=0,
             pltpu.VMEM((il * NT_FF * 8, 128), jnp.int32),
             pltpu.VMEM((il * 2 * nstr * 8, 128), jnp.int32),
             pltpu.VMEM((il * 8, 128), jnp.int32),
+            pltpu.VMEM((il * (NFENT if liz else 1) * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 8 if liz else 8, 128), jnp.int32),
             pltpu.SMEM((il * 8, 2 * nstr), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
@@ -1329,23 +1478,14 @@ def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
     kernel. Returns the decoded bytes of every block, in batch order.
 
     spb/rtiles/groups shrink the geometry for tests: blocks must decode to
-    <= spb*512 bytes and offsets must stay < (rtiles-2)*512 - 128. Production
-    values cover 128 KB blocks with 64 KB offsets (fastLZ4) / 128 KB reach
-    (LIZv1 within one inner block, e.g. -B1 independent frame blocks);
-    larger LIZv1 windows (chained multi-block streams) must use the
-    fallback paths."""
-    from lizard_tpu.format.levels import Codewords
-    if batch.codewords == Codewords.LIZv1 and batch.n_blocks:
-        import numpy as _np
-        counts = _np.bincount(batch.stream_id)
-        if counts.max() > 1:
-            # chained LIZv1 inner blocks share a window wider than the
-            # in-VMEM ring (up to 16 MB, lizard_common.h:223-231); decoding
-            # them here would silently mis-resolve far matches
-            raise ValueError(
-                "LIZv1 lane decode requires single-block streams "
-                "(<= 128 KB each); use the XLA/native fallback for "
-                "chained streams")
+    <= spb*512 bytes and fastLZ4 offsets must stay < (rtiles-2)*512 - 128.
+    Production values cover 128 KB blocks with 64 KB offsets (fastLZ4) /
+    128 KB in-ring reach (LIZv1). LIZv1 matches reaching beyond the ring
+    (chained multi-block streams share a window up to 16 MB,
+    lizard_common.h:223-231) are served from flushed HBM output via the
+    kernel's far window; bands needing more than NFENT far tiles flag
+    their block (len = -1) and the whole chain is re-decoded by the
+    bit-exact host oracle."""
     lane = prepare_lane_batch(batch, groups=groups)
     if rtiles is None:
         rtiles = LIZ_RING_TILES if lane.family else RING_TILES
@@ -1353,8 +1493,54 @@ def decode_batch_lanes(batch, interpret=False, spb=SUPERS_PER_BLOCK,
     out = _lane_call(jnp.asarray(lane.pool), jnp.asarray(lane.meta),
                      C=lane.C, T=T, spb=spb, rtiles=rtiles, groups=groups,
                      il=il, family=lane.family, interpret=interpret)
-    return unpack_lane_output(np.asarray(out), lane, T, spb=spb,
-                              groups=groups)
+    blocks = unpack_lane_output(np.asarray(out), lane, T, spb=spb,
+                                groups=groups)
+    # host fallback: far-window overflow (len = -1 -> None) or a chained
+    # stream violating the layout invariant that every non-final inner
+    # block decodes to exactly spb*512 bytes (the reference encoder always
+    # cuts at LIZARD_BLOCK_SIZE; only corrupt/foreign streams differ, and
+    # the kernel's ring arithmetic assumes it)
+    full = spb * 512
+    bad_sids = set()
+    n = batch.n_blocks
+    for b in range(n):
+        nxt = b + 1 < n and batch.stream_id[b + 1] == batch.stream_id[b]
+        if blocks[b] is None or (nxt and len(blocks[b]) != full):
+            bad_sids.add(int(batch.stream_id[b]))
+    for sid in bad_sids:
+        idxs = [b for b in range(n) if int(batch.stream_id[b]) == sid]
+        for b, data in zip(idxs, _host_decode_chain(batch, idxs)):
+            blocks[b] = data
+    return blocks
+
+
+def _host_decode_chain(batch, idxs: list[int]) -> list[bytes]:
+    """Bit-exact host decode of one block chain (fallback for far-window
+    overflow / layout-invariant violations). Streams are post-entropy; feed
+    them straight to the oracle's token loop (ref/block_decode.py) with the
+    shared window."""
+    from lizard_tpu.ref.block_decode import (_Stream, _decode_block_liz,
+                                             _decode_block_lz4)
+    out = bytearray()
+    res = []
+    for b in idxs:
+        streams = {}
+        for name, arr, off, ln in (
+                ("flags", batch.flags, batch.flags_off, batch.flags_len),
+                ("literals", batch.literals, batch.lit_off, batch.lit_len),
+                ("off16", batch.off16, batch.off16_off, batch.off16_len),
+                ("off24", batch.off24, batch.off24_off, batch.off24_len)):
+            o = int(off[b])
+            streams[name] = _Stream(
+                bytes(arr[o:o + int(ln[b])]), 0, int(ln[b]))
+        prev = len(out)
+        from lizard_tpu.format.levels import Codewords
+        if batch.codewords == Codewords.LIZv1:
+            _decode_block_liz(streams, out, 0)
+        else:
+            _decode_block_lz4(streams, out, 0)
+        res.append(bytes(out[prev:]))
+    return res
 
 
 def unpack_lane_output(out: np.ndarray, lane: LaneBatch, T: int,
@@ -1366,6 +1552,9 @@ def unpack_lane_output(out: np.ndarray, lane: LaneBatch, T: int,
     for b, (s, cpos) in enumerate(lane.placement):
         gq, sq = divmod(s, 8)
         blk_len = int(lens[gq, cpos, sq])
+        if blk_len < 0:       # far-window overflow: host fallback decodes
+            results.append(None)
+            continue
         t0 = cpos * spb
         nt = (blk_len + 511) // 512
         words = data[gq, t0:t0 + nt, sq, :]

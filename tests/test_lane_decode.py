@@ -177,15 +177,92 @@ def test_lane_fuzz_sweep(family_level):
     roundtrip(datas, level=family_level)
 
 
-def test_liz_chained_stream_rejected():
-    """LIZv1 streams spanning multiple inner blocks exceed the lane ring's
-    reach and must be rejected (fallback paths handle them)."""
-    from lizard_tpu.ops.lane_decode import decode_batch_lanes
+def _chained_batch(datas, level, block_size):
+    """Compress with shrunken inner blocks so multi-block chains fit the
+    test geometry (production inner blocks are 128 KB)."""
+    import lizard_tpu.ref.block_encode as be
     from lizard_tpu.ops.split import split_streams
-    from lizard_tpu.ref.block_encode import compress
-    data = gen(140_000, seed=99, proba=0.7)  # > 128 KB -> 2 inner blocks
-    batch = split_streams([compress(data, 21)])
-    assert batch.n_blocks == 2
-    with pytest.raises(ValueError):
-        decode_batch_lanes(batch, interpret=True, spb=SPB, rtiles=RTILES,
-                           groups=GROUPS)
+    old = be.LIZARD_BLOCK_SIZE
+    be.LIZARD_BLOCK_SIZE = block_size
+    try:
+        streams = [be.compress(d, level) for d in datas]
+    finally:
+        be.LIZARD_BLOCK_SIZE = old
+    return split_streams(streams), streams
+
+
+def _decode_batch(batch):
+    from lizard_tpu.ops.lane_decode import decode_batch_lanes
+    return decode_batch_lanes(batch, interpret=True, spb=SPB,
+                              rtiles=RTILES, groups=GROUPS)
+
+
+def test_liz_chained_far_matches():
+    """LIZv1 chains whose matches reach beyond the ring (RING_REACH =
+    (rtiles-1)*512 = 3072 here) decode via the HBM-staged far window."""
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 256, 1200, dtype=np.uint8).tobytes()
+    mid = rng.integers(0, 256, 3500, dtype=np.uint8).tobytes()
+    data = a + mid + a          # final copy of `a` reaches ~4700 back
+    batch, _ = _chained_batch([data], 29, 2048)
+    assert batch.n_blocks >= 3
+    got = b"".join(_decode_batch(batch))
+    assert got == data
+
+
+def test_liz_chained_mixed_near_far():
+    """Mix of in-ring and far matches, several chains at once, plus a
+    straddling match (part of the copy is within ring reach)."""
+    rng = np.random.default_rng(22)
+    a = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 700, dtype=np.uint8).tobytes()
+    d1 = a + b + rng.integers(0, 256, 2200, dtype=np.uint8).tobytes() + b + a
+    d2 = (b * 3) + rng.integers(0, 256, 3300, dtype=np.uint8).tobytes() + b
+    d3 = gen(2000, seed=23, proba=0.8)       # no far matches at all
+    batch, _ = _chained_batch([d1, d2, d3], 25, 2048)
+    outs = _decode_batch(batch)
+    got = b"".join(outs)
+    assert got == d1 + d2 + d3
+
+
+def test_liz_far_overflow_host_fallback(monkeypatch):
+    """A band referencing more far source tiles than NFENT flags its block;
+    the whole chain must be re-decoded bit-exact on the host."""
+    import lizard_tpu.ops.lane_decode as ld
+    rng = np.random.default_rng(24)
+    # 32 snippets spaced 512 B apart -> 32 distinct source tiles; their
+    # back-to-back 32 B copies span two bands, so each band of the copy
+    # region references 16 > NFENT(=8) far tiles (verified: the encoder
+    # emits 32 off16 match tokens in the final block)
+    src = bytearray(rng.integers(0, 256, 32 * 512, dtype=np.uint8).tobytes())
+    snippets = [bytes(src[k * 512:k * 512 + 32]) for k in range(32)]
+    data = bytes(src) + b"".join(snippets)
+    calls = []
+    orig = ld._host_decode_chain
+
+    def spy(batch, idxs):
+        calls.append(list(idxs))
+        return orig(batch, idxs)
+
+    monkeypatch.setattr(ld, "_host_decode_chain", spy)
+    batch, _ = _chained_batch([data], 29, 2048)
+    outs = _decode_batch(batch)
+    assert b"".join(outs) == data
+    assert calls, "expected the far-overflow host fallback to trigger"
+
+
+def test_liz_chained_no_far_stays_on_kernel(monkeypatch):
+    """Chained streams without far matches must NOT fall back."""
+    import lizard_tpu.ops.lane_decode as ld
+    monkeypatch.setattr(ld, "_host_decode_chain",
+                        lambda *a: pytest.fail("unexpected host fallback"))
+    # repeats only at short range: random 300 B patterns, each doubled
+    rng = np.random.default_rng(26)
+    parts = []
+    for _ in range(10):
+        pat = rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+        parts.append(pat + pat)
+    data = b"".join(parts)
+    batch, _ = _chained_batch([data], 22, 2048)
+    outs = _decode_batch(batch)
+    assert b"".join(outs) == data

@@ -61,6 +61,29 @@ def test_production_geometry_ragged():
 
 
 @pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+@pytest.mark.parametrize("level", (21, 29, 45))
+def test_production_liz_big_window_far_matches(level):
+    """LIZv1 chained multi-block streams (1 MB windows: matches reach up to
+    1 MB back, far beyond the 132 KB in-VMEM ring) decode via the HBM
+    far-window path at production geometry."""
+    import numpy as np
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    from lizard_tpu.ref.block_encode import compress
+    from lizard_tpu.utils.datagen import gen
+
+    rng = np.random.default_rng(level)
+    a = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+    datas = []
+    for k in range(4):
+        mid = gen(800_000 + 7919 * k, seed=level * 10 + k, proba=0.55)
+        datas.append(a + mid + a)     # far copy ~860 KB back
+    streams = [compress(d, level) for d in datas]
+    outs = decompress_lanes(streams)
+    for want, got in zip(datas, outs):
+        assert got == want
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
 @pytest.mark.parametrize("level", (10, 11, 21))
 def test_encoder_production_parity(level):
     """Pass A on the real chip at production geometry (128 KB blocks,
