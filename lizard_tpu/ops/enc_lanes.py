@@ -90,11 +90,25 @@ class EncCfg:
                               # arrays — pass A extends every candidate
                               # and keeps the longest (quality tiers,
                               # levels 13+)
+    chain: int = 0            # hash-chain walk depth at acquisition.
+                              # chain > 0 adds one DELTA map: at h4-table
+                              # insert time, delta[p] = p - previous
+                              # bucket occupant (the reference's
+                              # DELTANEXT, lib/lizard_parser_hashchain.h
+                              # :13-43, batched per segment). The walk
+                              # c -= delta[c] enumerates the bucket
+                              # history; nodes are UNVERIFIED (hash
+                              # collisions cost an evaluation, like the
+                              # reference's chain walk), candidates must
+                              # re-verify 4 bytes. Strictly-longer-wins
+                              # keeps the nearest-on-ties rule.
 
     @property
     def nmaps(self):
-        """Candidate arrays emitted by phase 1 / read by pass A."""
-        return 1 if self.k5 <= 1 else 1 + self.k5
+        """Candidate arrays emitted by phase 1 / read by pass A (the
+        last one is the DELTA map when chain > 0)."""
+        base = 1 if self.k5 <= 1 else 1 + self.k5
+        return base + (1 if self.chain else 0)
 
     @property
     def nw(self):
@@ -280,10 +294,18 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 
         dhalves = list(carry)
         CR2 = cfg.nseg // 2 * 8
-        for m, bm in enumerate(bests):
+        d16s = []
+        for bm in bests:
             mask = emit_ok & (bm >= 0)
-            d16 = jnp.where(mask, p - bm, 0)
-
+            d16s.append(jnp.where(mask, p - bm, 0))
+        if cfg.chain:
+            # DELTA map (last map): per-position distance to the
+            # pre-segment h4-bucket occupant, unverified/uncapped
+            # (mirrors p2_reference; falls out of accs[0])
+            dl = p - (accs[0] - 1)
+            d16s.append(jnp.where((accs[0] > 0) & (dl < (1 << 16)),
+                                  dl, 0))
+        for m, d16 in enumerate(d16s):
             @pl.when((i & 1) == 1)
             def _(m=m, d16=d16):
                 packed[pl.ds(m * CR2 + (i >> 1) * 8, 8)] = \
@@ -416,6 +438,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
     CR2 = cfg.nseg // 2 * 8             # cand rows per map
     CR = cfg.nmaps * CR2                # cand rows per group
     TR = (MAXROWS + 1) * 8              # tok rows per group
+    ncand = cfg.nmaps - (1 if cfg.chain else 0)   # delta map is last
 
     cp0 = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
     cp0.start()
@@ -458,7 +481,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                                          (32 - sh) & 31)))
             dr = []
             vu = None
-            for m in range(cfg.nmaps):
+            for m in range(ncand):   # candidate maps only (not delta)
                 raw = cand[pl.ds(g * CR + m * CR2 + (i >> 1) * 8, 8)]
                 drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
                 dr.append(drow)
@@ -599,14 +622,14 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             xor = fetch(d_tok, act0)
             xi, ml, survived = evalcand(xor, s_tok, rel0, act0)
 
-            if cfg.nmaps > 1:
+            if ncand > 1 or cfg.chain:
                 # candidate pick across the k5-chain maps: extend every
                 # verified candidate at s, keep the strictly longest
                 # kernel-VISIBLE length (segment survivors compete with
                 # their guaranteed lower bound; earlier map wins ties)
                 v = jnp.where(survived, (128 - rel0) + 3,
                               jnp.where(act0, ml, -1))
-                for m in range(1, cfg.nmaps):
+                for m in range(1, ncand):
                     d_m = _take(dmaps[m], jnp.clip(sidx, 0, 127))
                     act_m = aq & (d_m > 0)
                     xor_m = fetch(d_m, act_m)
@@ -622,13 +645,54 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     survived = jnp.where(tk, surv_m, survived)
                     v = jnp.where(tk, v_m, v)
 
+            if cfg.chain:
+                # hash-chain walk (mirrors p2_reference's pick): from
+                # the map-0 candidate, step c -= delta[c] through the
+                # DELTA map (bucket-occupant history), evaluating each
+                # node; unverified nodes mismatch at the first word
+                # (ml <= 3 < the verified baseline) so they never win
+                DR0 = g * CR + (ncand) * CR2       # delta map rows
+                dcum = d_new
+                walking = aq & (d_new > 0)
+                for _step in range(int(cfg.chain)):
+                    cpos = X0 + sidx - dcum        # node position
+                    dn = z
+                    for b in range(8):
+                        cb = jnp.max(jax.lax.slice(cpos, (b, 0),
+                                                   (b + 1, 1)))
+                        cbc = jnp.maximum(cb, 0)
+                        rr = cand[pl.ds(DR0 + (cbc >> 8) * 8 + b, 1)]
+                        gv = _take(rr, jnp.broadcast_to(
+                            jnp.reshape(cbc & 127, (1, 1)), (1, 128)))
+                        hv = jnp.where(((cbc >> 7) & 1) == 1,
+                                       gv >> 16, gv) & 0xFFFF
+                        dn = jnp.where(sub == b,
+                                       jnp.broadcast_to(hv, (8, 128)),
+                                       dn)
+                    dcum2 = dcum + dn
+                    in_r = walking & (dn > 0) & (dcum2 <= cfg.maxoff)
+                    xor_m = fetch(dcum2, in_r)
+                    xi_m, ml_m, surv_m = evalcand(xor_m, s_new, sidx,
+                                                  in_r)
+                    v_m = jnp.where(surv_m, (128 - sidx) + 3,
+                                    jnp.where(in_r, ml_m, -1))
+                    tk = v_m > v
+                    d_tok = jnp.where(tk, dcum2, d_tok)
+                    xor = jnp.where(tk, xor_m, xor)
+                    xi = jnp.where(tk, xi_m, xi)
+                    ml = jnp.where(tk, ml_m, ml)
+                    survived = jnp.where(tk, surv_m, survived)
+                    v = jnp.where(tk, v_m, v)
+                    walking = in_r
+                    dcum = jnp.where(in_r, dcum2, dcum)
+
             # lazy look-ahead (the fast parser's retry,
             # lizard_parser_fast.h:146-181 analog): positions
             # sidx+1..sidx+steps are evaluated across all maps; a later
             # candidate takes over iff its kernel-visible length beats
             # the current one's by more than the literal gap it skips
             # (segment survivors compete with their guaranteed bound)
-            if cfg.nmaps > 1:
+            if ncand > 1 or cfg.chain:
                 vcur = v           # tracked through the candidate pick
             else:
                 vcur = jnp.where(survived, (128 - rel0) + 3,
@@ -643,7 +707,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 xi2, ml2, surv2 = evalcand(xor2, s2, rel2, has2)
                 v2 = jnp.where(surv2, (128 - rel2) + 3,
                                jnp.where(has2, ml2, -1))
-                for m in range(1, cfg.nmaps):
+                for m in range(1, ncand):
                     d_m = _take(dmaps[m], rel2)
                     act_m = okstep & (d_m > 0)
                     xor_m = fetch(d_m, act_m)
@@ -1216,6 +1280,10 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             db = dmap[b]
             if cfg.nmaps == 1:
                 db = db[None, :]
+            delta = None
+            if cfg.chain:
+                delta = db[-1]
+                db = db[:-1]
             anyc = (db > 0).any(axis=0)
             cpos = np.flatnonzero(anyc)
             lim = n - LASTLITERALS
@@ -1239,15 +1307,26 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             def ml_of(s, x):
                 return (lim - s) if x >= lim else min(x - s + 3, lim - s)
 
-            def pick(s, seg_end):
+            def pick(s, seg_end, do_chain=True):
                 """Kernel candidate pick: strictly-longest VISIBLE
                 length wins (segment survivors show seg_end-s+3; the
-                earlier map wins ties). Returns (v, ml_full, d)."""
+                earlier map wins ties, then the nearer chain node).
+                Returns (v, ml_full, d)."""
+                cands = [int(row[s]) for row in db if row[s] > 0]
+                d0 = int(db[0][s]) if do_chain else 0
+                for _ in range(int(cfg.chain)):
+                    if d0 <= 0:
+                        break
+                    dn = int(delta[s - d0])
+                    if dn <= 0:
+                        break
+                    d0 += dn
+                    if d0 > cfg.maxoff:
+                        break
+                    if w8[s - d0] == w8[s]:   # unverified node: re-verify
+                        cands.append(d0)
                 bv, bml, bd = -1, 0, 0
-                for row in db:
-                    if row[s] <= 0:
-                        continue
-                    d = int(row[s])
+                for d in cands:
                     x = mismatch_x(s, d)
                     m = ml_of(s, x)
                     v = (seg_end - s + 3) if x >= seg_end else m
@@ -1267,7 +1346,10 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
                     # kernel lazy rule: kernel-VISIBLE lengths, later
                     # candidate must win by more than the skipped gap
                     if (s0 % SEG) < 128 - step and anyc[s0 + step]:
-                        v2, ml2, d2 = pick(s0 + step, seg_end)
+                        # lazy steps pick across the maps only: chaining
+                        # here measured +0.03% for (1+lazy)x the walks
+                        v2, ml2, d2 = pick(s0 + step, seg_end,
+                                           do_chain=False)
                         if v2 > v1 + (s0 + step - s):
                             s, d, ml, v1 = s0 + step, d2, ml2, v2
                 # back-extension (lizard_parser_fast.h:102): byte-wise
@@ -1351,6 +1433,18 @@ def p1_reference(blocks, cfg: EncCfg):
             # insert: adjacent dedupe (keep last of each run; lane 127
             # always kept), duplicates after dedupe keep the OLD entry;
             # the h5 tables take turns (rotating slot i mod k5)
+            if cfg.chain:
+                # DELTA map (last emit row): per-position distance to the
+                # pre-segment h4-bucket occupant, UNVERIFIED and offset-
+                # uncapped (0 = empty bucket or >= the d16 cap). Chain
+                # nodes re-verify at walk time, so this enumerates the
+                # bucket-occupant history like the reference's chainTable
+                # (lib/lizard_parser_hashchain.h:13-43) at zero insert
+                # cost: it falls out of the lookup the kernel already does.
+                vh = t4[h[seg]]
+                dl = ps - (vh - 1)
+                emit[nm - 1][seg] = np.where(
+                    (vh > 0) & (dl < (1 << 16)), dl, 0)
             ins = [(h, t4)]
             if k5:
                 ins.append((h5v, t5[i & (k5 - 1)]))

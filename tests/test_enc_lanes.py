@@ -412,11 +412,44 @@ def test_p1_passA_k5_chain_matches_reference():
         assert bytes(decompress(e, max_out=max(len(d), 1))) == d
 
 
+def test_p1_passA_hashchain_matches_reference():
+    """chain>0 (d16 DELTA-map hash-chain walk, the hashChain-level
+    analog): the delta map and the walk-extended parse must both be
+    exact vs the mirrors, and round-trip at a chain-tier level."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import (pA_call, p2_reference,
+                                          unpack_tokens, unpack_d16,
+                                          encode_blocks_lanes)
+    cfg = dataclasses.replace(CFG, chain=2, lazy=True)
+    blocks = _mk_blocks(19)
+    w32i, meta = pack_blocks(blocks, cfg)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
+                     interpret=True)
+    ref, _ = p1_reference(blocks, cfg)          # (8, 2, n): cand + delta
+    for m in range(cfg.nmaps):
+        got = unpack_d16(packed, cfg, m=m)
+        assert np.array_equal(got, ref[:, m]), f"map {m}"
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+                  interpret=True)
+    got = unpack_tokens(tok, cfg)
+    want = p2_reference(blocks, cfg, dmap=ref)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"block {b}: {len(got[b])} vs {len(want[b])}; first diff: "
+            f"{next(((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y), None)}")
+    from lizard_tpu.ref.block_decode import decompress
+    encs = encode_blocks_lanes(blocks, level=17, cfg=cfg, interpret=True)
+    for d, e in zip(blocks, encs):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
 @pytest.mark.parametrize("combo", [
     dict(lazy=True, k5=0, maxoff=2047),
     dict(lazy=False, k5=1, maxoff=2047),
     dict(lazy=True, k5=2, maxoff=1023),
     dict(lazy=True, k5=4, maxoff=2047),
+    dict(lazy=True, k5=2, chain=2, maxoff=2047),
 ])
 def test_passA_cfg_sweep(combo):
     """Kernel/mirror token parity across tier-parameter combinations on
