@@ -90,25 +90,45 @@ class EncCfg:
                               # arrays — pass A extends every candidate
                               # and keeps the longest (quality tiers,
                               # levels 13+)
-    chain: int = 0            # hash-chain walk depth at acquisition.
-                              # chain > 0 adds one DELTA map: at h4-table
-                              # insert time, delta[p] = p - previous
-                              # bucket occupant (the reference's
+    chain: int = 0            # hash-chain walk depth (phase 1.5).
+                              # chain > 0 adds one DELTA map to phase
+                              # 1's output: delta[p] = p - previous
+                              # h4-bucket occupant (the reference's
                               # DELTANEXT, lib/lizard_parser_hashchain.h
-                              # :13-43, batched per segment). The walk
-                              # c -= delta[c] enumerates the bucket
-                              # history; nodes are UNVERIFIED (hash
-                              # collisions cost an evaluation, like the
-                              # reference's chain walk), candidates must
-                              # re-verify 4 bytes. Strictly-longer-wins
-                              # keeps the nearest-on-ties rule.
+                              # :13-43, batched per segment; it falls
+                              # out of the lookup phase 1 already does).
+                              # Phase 1.5 (p15_call) then walks
+                              # c -= delta[c] VECTORIZED per position,
+                              # ranks nodes by the first cfg.pref matched
+                              # bytes (strictly-longer wins, so nearest
+                              # wins ties; unverified nodes need >= 4),
+                              # and replaces map 0 with the winner, so
+                              # the serial parse never pays for the
+                              # walk. Ratio vs the in-parse walk at
+                              # equal depth: -0.4%..0%, and the cheap
+                              # vector pass affords 2x the depth
+                              # (measured: prewalk chain=32 == in-parse
+                              # chain=16 at hl15 on the bench corpus).
+    pref: int = 8             # chain ranking depth in bytes (8 or 16):
+                              # how many matched bytes phase 1.5 counts
+                              # before declaring two nodes tied. 16
+                              # recovers the pre-pick's ratio loss
+                              # almost exactly (chain=16 hl15: p8
+                              # 0.5190, p16 0.5147 vs in-parse 0.5152)
+                              # for pref/4+1 gathered words per eval.
 
     @property
     def nmaps(self):
-        """Candidate arrays emitted by phase 1 / read by pass A (the
-        last one is the DELTA map when chain > 0)."""
+        """Candidate arrays emitted by phase 1 (the last one is the
+        DELTA map when chain > 0)."""
         base = 1 if self.k5 <= 1 else 1 + self.k5
         return base + (1 if self.chain else 0)
+
+    @property
+    def ncand(self):
+        """Candidate arrays pass A reads: phase 1.5 consumes the delta
+        map and folds the chain winner into map 0."""
+        return self.nmaps - (1 if self.chain else 0)
 
     @property
     def nw(self):
@@ -395,6 +415,220 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
     )(meta, w32i)
 
 
+# ------------------------------------------------------------- phase 1.5
+#
+# The hash-chain walk (cfg.chain > 0), VECTORIZED per position: all 128
+# lanes x 8 blocks of a segment walk their delta chains simultaneously,
+# ranking each node by its first cfg.pref matched bytes. The serial parse
+# (pass A) then sees a single pre-picked winner in map 0 and never pays
+# for the walk — the structural reason the chain feature is affordable
+# on this hardware (a per-token walk inside pass A's latency-bound
+# while-loop costs chain x ~10 serial ops per token; here the same work
+# is (8,128)-wide vector ops whose gathers ride the dynamic-reach
+# funnel, so depth is cheap and the tier ladder buys ratio with depth).
+# Mirrors lib/lizard_parser_hashchain.h:46-107's search loop; ranking
+# by a pref-byte prefix instead of the full length costs 0..0.4% ratio
+# at equal depth on the bench corpus (tools/probe_enc_chain.py) and
+# doubling the depth recovers it.
+
+NEAR_D = 2                    # delta-map tiles always chained (512 pos)
+
+
+def _p15_kernel(cfg, meta, w32_hbm, packed_hbm, out_hbm,
+                w32, cmap, dmapv, outm, sems):
+    lanes = _iota1()
+    CR2 = cfg.nseg // 2 * 8
+    z = jnp.zeros((8, 128), jnp.int32)
+
+    cpw = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
+    cpw.start()
+    cpc = pltpu.make_async_copy(packed_hbm.at[pl.ds(0, CR2)], cmap,
+                                sems.at[1])
+    cpc.start()
+    cpd = pltpu.make_async_copy(
+        packed_hbm.at[pl.ds((cfg.nmaps - 1) * CR2, CR2)], dmapv,
+        sems.at[2])
+    cpd.start()
+    cpw.wait()
+    cpc.wait()
+    cpd.wait()
+
+    NWORDS = cfg.pref // 4 + 1   # words covering pref bytes, any align
+
+    def body(i, dhalf):
+        X0 = i * SEG
+        p = X0 + lanes
+        raw = cmap[pl.ds((i >> 1) * 8, 8)]
+        cand = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
+
+        # target bytes [p, p+pref): words c32 .. c32+NWORDS-1 (two
+        # static tiles cover the segment; the tail words may spill into
+        # tile t0+1)
+        t0 = i >> 2
+        c32 = 32 * i + (lanes >> 2)
+        sh = (lanes & 3) << 3
+        T0 = w32[pl.ds(t0 * 8, 8)]
+        T1 = w32[pl.ds(jnp.minimum(t0 + 1, cfg.wtiles) * 8, 8)]
+
+        def wsel(cw):
+            return jnp.where((cw >> 7) == t0, _take(T0, cw & 127),
+                             _take(T1, cw & 127))
+
+        tws = [wsel(c32 + j) for j in range(NWORDS)]
+        tgt = [(_shr(tws[j].astype(jnp.uint32), sh)
+                | jnp.where(sh == 0, jnp.uint32(0),
+                            _shl(tws[j + 1].astype(jnp.uint32),
+                                 (32 - sh) & 31)))
+               for j in range(NWORDS - 1)]
+
+        Ttop = i >> 2
+        SPILL = 1     # tail words reach at most one tile above Ttop
+                      # (max word = 32i+31 + NWORDS-1, NWORDS <= 5)
+
+        def plen_at(dist, act):
+            """Matched-prefix bytes (capped cfg.pref) of p vs p-dist:
+            gather words W..W+NWORDS-1 at y = p-dist through the
+            dynamic-reach funnel, xor against the segment's own
+            pref bytes."""
+            y = jnp.where(act, p - dist, p)
+            wi = y >> 2
+            wts = [(wi + j) >> 7 for j in range(NWORDS)]
+
+            def vstep(t_un, a):
+                tc = jnp.clip(t_un, 0, cfg.wtiles)
+                tile = w32[pl.ds(tc * 8, 8)]
+                return tuple(
+                    jnp.where(wts[j] == t_un,
+                              _take(tile, (wi + j) & 127), a[j])
+                    for j in range(NWORDS))
+
+            aa = tuple(z for _ in range(NWORDS))
+            for k in range(SPILL):            # tail-word spillover
+                aa = vstep(Ttop + SPILL - k, aa)
+            for k in range(ENC_NEAR + 1):
+                aa = vstep(Ttop - k, aa)
+            dmax = jnp.max(jnp.where(act, dist, 0))
+            kfar = jnp.maximum(
+                (Ttop - ((X0 - dmax) >> 9)) - ENC_NEAR, 0)
+            aa = jax.lax.fori_loop(
+                0, kfar,
+                lambda q, a: vstep(Ttop - (ENC_NEAR + 1) - q, a), aa)
+            shs = (y & 3) << 3
+            xws = []
+            for j in range(NWORDS - 1):
+                sw = (_shr(aa[j].astype(jnp.uint32), shs)
+                      | jnp.where(shs == 0, jnp.uint32(0),
+                                  _shl(aa[j + 1].astype(jnp.uint32),
+                                       (32 - shs) & 31)))
+                xws.append((sw ^ tgt[j]).astype(jnp.int32))
+
+            def tzb(x):
+                return jnp.where(
+                    (x & 0xFF) != 0, 0,
+                    jnp.where((x & 0xFFFF) != 0, 1,
+                              jnp.where((x & 0xFFFFFF) != 0, 2, 3)))
+
+            ln = jnp.full((8, 128), cfg.pref, jnp.int32)
+            for j in reversed(range(NWORDS - 1)):
+                ln = jnp.where(xws[j] != 0, 4 * j + tzb(xws[j]), ln)
+            return jnp.where(act & (dist > 0), ln, 0)
+
+        Dtop = i >> 1                 # delta tile-block of X0
+
+        def dget(q, act):
+            """delta[q] through the d16-packed map (256 positions per
+            8-row tile block), dynamic-reach funnel."""
+            qq = jnp.where(act, q, X0)
+            tq = qq >> 8
+
+            def dstep(t_un, dn):
+                tc = jnp.maximum(t_un, 0)
+                tile = dmapv[pl.ds(tc * 8, 8)]
+                g = _take(tile, qq & 127)
+                v16 = jnp.where(((qq >> 7) & 1) == 1, g >> 16,
+                                g) & 0xFFFF
+                return jnp.where(tq == t_un, v16, dn)
+
+            dn = z
+            for k in range(NEAR_D + 1):
+                dn = dstep(Dtop - k, dn)
+            qmin = jnp.min(jnp.where(act, qq, X0))
+            kfar = jnp.maximum((Dtop - (qmin >> 8)) - NEAR_D, 0)
+            dn = jax.lax.fori_loop(
+                0, kfar,
+                lambda k, d: dstep(Dtop - (NEAR_D + 1) - k, d), dn)
+            return jnp.where(act, dn, 0)
+
+        act0 = cand > 0
+        best_l = plen_at(cand, act0)
+        best_d = jnp.where(act0, cand, 0)
+        cur = best_d
+        walking = act0
+        for _s in range(int(cfg.chain)):
+            nd = dget(p - cur, walking)
+            cur2 = cur + nd
+            valid = walking & (nd > 0) & (cur2 <= cfg.maxoff)
+            ln = plen_at(cur2, valid)
+            take = valid & (ln >= 4) & (ln > best_l)
+            best_d = jnp.where(take, cur2, best_d)
+            best_l = jnp.where(take, ln, best_l)
+            cur = jnp.where(valid, cur2, cur)
+            walking = valid
+
+        @pl.when((i & 1) == 1)
+        def _():
+            outm[pl.ds((i >> 1) * 8, 8)] = dhalf | (best_d << 16)
+
+        return best_d
+
+    jax.lax.fori_loop(0, cfg.nseg, body, z)
+
+    cp0 = pltpu.make_async_copy(outm, out_hbm.at[pl.ds(0, CR2)],
+                                sems.at[0])
+    cp0.start()
+    cp0.wait()
+    # pass-through: the k5 maps keep their slots (bounced via outm,
+    # which map 0 no longer needs)
+    for m in range(1, cfg.ncand):
+        cpi = pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(m * CR2, CR2)], outm, sems.at[1])
+        cpi.start()
+        cpi.wait()
+        cpo = pltpu.make_async_copy(
+            outm, out_hbm.at[pl.ds(m * CR2, CR2)], sems.at[2])
+        cpo.start()
+        cpo.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def p15_call(w32i, packed, meta, cfg: EncCfg, interpret=False):
+    """Phase 1.5: consume phase 1's candidate+delta maps, return pass
+    A's maps (ncand * nseg/2 * 8, 128) with map 0 = the chain winner."""
+    kernel = functools.partial(_p15_kernel, cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
+            pltpu.VMEM((cfg.nseg // 2 * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.ncand * (cfg.nseg // 2) * 8, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, w32i, packed)
+
+
 # ---------------------------------------------------------------- pass A
 #
 # The parse. Segment-synchronized serial greedy, 8 blocks on sublanes:
@@ -438,7 +672,10 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
     CR2 = cfg.nseg // 2 * 8             # cand rows per map
     CR = cfg.nmaps * CR2                # cand rows per group
     TR = (MAXROWS + 1) * 8              # tok rows per group
-    ncand = cfg.nmaps - (1 if cfg.chain else 0)   # delta map is last
+    # pass A is always handed a chain-free cfg: when cfg.chain, phase
+    # 1.5 (p15_call) pre-picks the chain winner into map 0 and drops
+    # the delta map before the parse ever runs
+    assert not cfg.chain
 
     cp0 = pltpu.make_async_copy(w32_hbm, w32, sems.at[0])
     cp0.start()
@@ -481,7 +718,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                                          (32 - sh) & 31)))
             dr = []
             vu = None
-            for m in range(ncand):   # candidate maps only (not delta)
+            for m in range(cfg.nmaps):
                 raw = cand[pl.ds(g * CR + m * CR2 + (i >> 1) * 8, 8)]
                 drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
                 dr.append(drow)
@@ -622,14 +859,14 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             xor = fetch(d_tok, act0)
             xi, ml, survived = evalcand(xor, s_tok, rel0, act0)
 
-            if ncand > 1 or cfg.chain:
+            if cfg.nmaps > 1:
                 # candidate pick across the k5-chain maps: extend every
                 # verified candidate at s, keep the strictly longest
                 # kernel-VISIBLE length (segment survivors compete with
                 # their guaranteed lower bound; earlier map wins ties)
                 v = jnp.where(survived, (128 - rel0) + 3,
                               jnp.where(act0, ml, -1))
-                for m in range(1, ncand):
+                for m in range(1, cfg.nmaps):
                     d_m = _take(dmaps[m], jnp.clip(sidx, 0, 127))
                     act_m = aq & (d_m > 0)
                     xor_m = fetch(d_m, act_m)
@@ -645,54 +882,13 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     survived = jnp.where(tk, surv_m, survived)
                     v = jnp.where(tk, v_m, v)
 
-            if cfg.chain:
-                # hash-chain walk (mirrors p2_reference's pick): from
-                # the map-0 candidate, step c -= delta[c] through the
-                # DELTA map (bucket-occupant history), evaluating each
-                # node; unverified nodes mismatch at the first word
-                # (ml <= 3 < the verified baseline) so they never win
-                DR0 = g * CR + (ncand) * CR2       # delta map rows
-                dcum = d_new
-                walking = aq & (d_new > 0)
-                for _step in range(int(cfg.chain)):
-                    cpos = X0 + sidx - dcum        # node position
-                    dn = z
-                    for b in range(8):
-                        cb = jnp.max(jax.lax.slice(cpos, (b, 0),
-                                                   (b + 1, 1)))
-                        cbc = jnp.maximum(cb, 0)
-                        rr = cand[pl.ds(DR0 + (cbc >> 8) * 8 + b, 1)]
-                        gv = _take(rr, jnp.broadcast_to(
-                            jnp.reshape(cbc & 127, (1, 1)), (1, 128)))
-                        hv = jnp.where(((cbc >> 7) & 1) == 1,
-                                       gv >> 16, gv) & 0xFFFF
-                        dn = jnp.where(sub == b,
-                                       jnp.broadcast_to(hv, (8, 128)),
-                                       dn)
-                    dcum2 = dcum + dn
-                    in_r = walking & (dn > 0) & (dcum2 <= cfg.maxoff)
-                    xor_m = fetch(dcum2, in_r)
-                    xi_m, ml_m, surv_m = evalcand(xor_m, s_new, sidx,
-                                                  in_r)
-                    v_m = jnp.where(surv_m, (128 - sidx) + 3,
-                                    jnp.where(in_r, ml_m, -1))
-                    tk = v_m > v
-                    d_tok = jnp.where(tk, dcum2, d_tok)
-                    xor = jnp.where(tk, xor_m, xor)
-                    xi = jnp.where(tk, xi_m, xi)
-                    ml = jnp.where(tk, ml_m, ml)
-                    survived = jnp.where(tk, surv_m, survived)
-                    v = jnp.where(tk, v_m, v)
-                    walking = in_r
-                    dcum = jnp.where(in_r, dcum2, dcum)
-
             # lazy look-ahead (the fast parser's retry,
             # lizard_parser_fast.h:146-181 analog): positions
             # sidx+1..sidx+steps are evaluated across all maps; a later
             # candidate takes over iff its kernel-visible length beats
             # the current one's by more than the literal gap it skips
             # (segment survivors compete with their guaranteed bound)
-            if ncand > 1 or cfg.chain:
+            if cfg.nmaps > 1:
                 vcur = v           # tracked through the candidate pick
             else:
                 vcur = jnp.where(survived, (128 - rel0) + 3,
@@ -707,7 +903,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 xi2, ml2, surv2 = evalcand(xor2, s2, rel2, has2)
                 v2 = jnp.where(surv2, (128 - rel2) + 3,
                                jnp.where(has2, ml2, -1))
-                for m in range(1, ncand):
+                for m in range(1, cfg.nmaps):
                     d_m = _take(dmaps[m], rel2)
                     act_m = okstep & (d_m > 0)
                     xor_m = fetch(d_m, act_m)
@@ -1152,17 +1348,23 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
     # for group k+1.. overlaps the host emission of group k
     jobs = []
     TR = (_maxrows(cfg) + 1) * 8
+    import dataclasses
+    pa_cfg = dataclasses.replace(cfg, chain=0) if cfg.chain else cfg
     for base in range(0, len(blocks), 8 * il):
         part = blocks[base:base + 8 * il]
         subs = [part[k * 8:(k + 1) * 8] for k in range(il)]
         packs = [pack_blocks(sg, cfg) for sg in subs]
         p1s = [p1_call(jnp.asarray(w), jnp.asarray(m), cfg,
                        interpret=interpret) for (w, m) in packs]
+        if cfg.chain:          # phase 1.5: fold the walk into map 0
+            p1s = [p15_call(jnp.asarray(w), pk, jnp.asarray(m), cfg,
+                            interpret=interpret)
+                   for (w, m), pk in zip(packs, p1s)]
         w32j = jnp.asarray(np.concatenate([w for w, _ in packs], axis=0))
         metaj = jnp.asarray(np.concatenate([m for _, m in packs]))
         cands = jnp.concatenate(p1s, axis=0) if il > 1 else p1s[0]
         jobs.append((base, part,
-                     pA_call(w32j, cands, metaj, cfg,
+                     pA_call(w32j, cands, metaj, pa_cfg,
                              interpret=interpret, il=il)))
     for base, part, tok in jobs:
         try:
@@ -1263,9 +1465,17 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
 
     Extension is word-exact the way the kernel computes it: first
     mismatching 4-byte word at byte granularity + trailing-zero bytes
-    of the xor, clamped to lim = n - LASTLITERALS."""
+    of the xor, clamped to lim = n - LASTLITERALS.
+
+    chain > 0 runs phase 1.5 first (p15_reference: the vectorized
+    prefix-ranked hash-chain walk replaces map 0 and consumes the
+    delta map); the parse itself is always chain-free."""
     if dmap is None:
         dmap, _ = p1_reference(blocks, cfg)
+    if cfg.chain:
+        import dataclasses
+        dmap = p15_reference(blocks, cfg, dmap)
+        cfg = dataclasses.replace(cfg, chain=0)
     out = []
     for b, data in enumerate(blocks):
         n = len(data)
@@ -1280,10 +1490,6 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             db = dmap[b]
             if cfg.nmaps == 1:
                 db = db[None, :]
-            delta = None
-            if cfg.chain:
-                delta = db[-1]
-                db = db[:-1]
             anyc = (db > 0).any(axis=0)
             cpos = np.flatnonzero(anyc)
             lim = n - LASTLITERALS
@@ -1307,26 +1513,15 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             def ml_of(s, x):
                 return (lim - s) if x >= lim else min(x - s + 3, lim - s)
 
-            def pick(s, seg_end, do_chain=True):
+            def pick(s, seg_end):
                 """Kernel candidate pick: strictly-longest VISIBLE
                 length wins (segment survivors show seg_end-s+3; the
-                earlier map wins ties, then the nearer chain node).
-                Returns (v, ml_full, d)."""
-                cands = [int(row[s]) for row in db if row[s] > 0]
-                d0 = int(db[0][s]) if do_chain else 0
-                for _ in range(int(cfg.chain)):
-                    if d0 <= 0:
-                        break
-                    dn = int(delta[s - d0])
-                    if dn <= 0:
-                        break
-                    d0 += dn
-                    if d0 > cfg.maxoff:
-                        break
-                    if w8[s - d0] == w8[s]:   # unverified node: re-verify
-                        cands.append(d0)
+                earlier map wins ties). Returns (v, ml_full, d)."""
                 bv, bml, bd = -1, 0, 0
-                for d in cands:
+                for row in db:
+                    if row[s] <= 0:
+                        continue
+                    d = int(row[s])
                     x = mismatch_x(s, d)
                     m = ml_of(s, x)
                     v = (seg_end - s + 3) if x >= seg_end else m
@@ -1346,10 +1541,7 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
                     # kernel lazy rule: kernel-VISIBLE lengths, later
                     # candidate must win by more than the skipped gap
                     if (s0 % SEG) < 128 - step and anyc[s0 + step]:
-                        # lazy steps pick across the maps only: chaining
-                        # here measured +0.03% for (1+lazy)x the walks
-                        v2, ml2, d2 = pick(s0 + step, seg_end,
-                                           do_chain=False)
+                        v2, ml2, d2 = pick(s0 + step, seg_end)
                         if v2 > v1 + (s0 + step - s):
                             s, d, ml, v1 = s0 + step, d2, ml2, v2
                 # back-extension (lizard_parser_fast.h:102): byte-wise
@@ -1464,3 +1656,61 @@ def p1_reference(blocks, cfg: EncCfg):
     if nm == 1:
         return out[:, 0], meta
     return out, meta
+
+
+def p15_reference(blocks, cfg: EncCfg, dmap=None):
+    """Bit-exact numpy mirror of phase 1.5 (the vectorized hash-chain
+    walk): per POSITION, walk c -= delta[c] for cfg.chain steps from
+    the map-0 candidate, rank every node by its matched-prefix length
+    capped at cfg.pref bytes (>= 4 to qualify; strictly-longer wins, so
+    the nearest node keeps ties), and return pass A's candidate maps
+    with map 0 replaced by the winner and the delta map dropped.
+    Output shape: (8, n) when cfg.ncand == 1, else (8, ncand, n)."""
+    if dmap is None:
+        dmap, _ = p1_reference(blocks, cfg)
+    outs = np.zeros((8, cfg.ncand, cfg.n), np.int64)
+    pos = np.arange(cfg.n)
+    for b, data in enumerate(blocks):
+        n = len(data)
+        u8 = np.zeros(cfg.n + cfg.pref + 4, np.uint8)
+        u8[:n] = np.frombuffer(data, np.uint8)
+        cand = dmap[b][0]
+        delta = dmap[b][-1]
+
+        def plen(dist):
+            """Matched-prefix length (capped cfg.pref) of p vs p-dist.
+            Positions the walk evaluates satisfy p + pref <= n (cand
+            exists only below n - MFLIMIT), so the zero pad is never
+            ranked against real bytes."""
+            src = pos - dist
+            ok = dist > 0
+            srcc = np.maximum(src, 0)
+            m = ok.copy()
+            ln = np.zeros(cfg.n, np.int64)
+            for j in range(cfg.pref):
+                m &= u8[srcc + j] == u8[pos + j]
+                ln += m
+            return np.where(ok, ln, 0)
+
+        best_d = np.where(cand > 0, cand, 0)
+        best_l = plen(best_d)
+        cur = best_d.copy()
+        walking = cand > 0
+        for _ in range(int(cfg.chain)):
+            if not walking.any():
+                break
+            nd = np.where(walking, delta[np.maximum(pos - cur, 0)], 0)
+            cur2 = cur + nd
+            valid = walking & (nd > 0) & (cur2 <= cfg.maxoff)
+            ln = plen(np.where(valid, cur2, 0))
+            take = valid & (ln >= 4) & (ln > best_l)
+            best_d = np.where(take, cur2, best_d)
+            best_l = np.where(take, ln, best_l)
+            cur = np.where(valid, cur2, cur)
+            walking = valid
+        outs[b, 0] = best_d
+        for m in range(1, cfg.ncand):
+            outs[b, m] = dmap[b][m]
+    if cfg.ncand == 1:
+        return outs[:, 0]
+    return outs

@@ -414,11 +414,13 @@ def test_p1_passA_k5_chain_matches_reference():
 
 def test_p1_passA_hashchain_matches_reference():
     """chain>0 (d16 DELTA-map hash-chain walk, the hashChain-level
-    analog): the delta map and the walk-extended parse must both be
-    exact vs the mirrors, and round-trip at a chain-tier level."""
+    analog): the delta map, the phase-1.5 vectorized walk (p15) and the
+    parse over the pre-picked winner must all be exact vs the mirrors,
+    and round-trip at a chain-tier level."""
     import dataclasses
     import jax.numpy as jnp
     from lizard_tpu.ops.enc_lanes import (pA_call, p2_reference,
+                                          p15_call, p15_reference,
                                           unpack_tokens, unpack_d16,
                                           encode_blocks_lanes)
     cfg = dataclasses.replace(CFG, chain=2, lazy=True)
@@ -430,10 +432,18 @@ def test_p1_passA_hashchain_matches_reference():
     for m in range(cfg.nmaps):
         got = unpack_d16(packed, cfg, m=m)
         assert np.array_equal(got, ref[:, m]), f"map {m}"
-    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+    win = p15_call(jnp.asarray(w32i), packed, jnp.asarray(meta), cfg,
+                   interpret=True)
+    wref = p15_reference(blocks, cfg, dmap=ref)
+    pa_cfg = dataclasses.replace(cfg, chain=0)
+    for m in range(pa_cfg.nmaps):
+        got = unpack_d16(win, pa_cfg, m=m)
+        want = wref if pa_cfg.nmaps == 1 else wref[:, m]
+        assert np.array_equal(got, want), f"p15 map {m}"
+    tok = pA_call(jnp.asarray(w32i), win, jnp.asarray(meta), pa_cfg,
                   interpret=True)
-    got = unpack_tokens(tok, cfg)
-    want = p2_reference(blocks, cfg, dmap=ref)
+    got = unpack_tokens(tok, pa_cfg)
+    want = p2_reference(blocks, cfg, dmap=ref)   # pre-picks internally
     for b in range(8):
         assert got[b] == want[b], (
             f"block {b}: {len(got[b])} vs {len(want[b])}; first diff: "
@@ -450,6 +460,7 @@ def test_p1_passA_hashchain_matches_reference():
     dict(lazy=True, k5=2, maxoff=1023),
     dict(lazy=True, k5=4, maxoff=2047),
     dict(lazy=True, k5=2, chain=2, maxoff=2047),
+    dict(lazy=True, k5=0, chain=3, pref=16, maxoff=2047),
 ])
 def test_passA_cfg_sweep(combo):
     """Kernel/mirror token parity across tier-parameter combinations on
@@ -474,9 +485,15 @@ def test_passA_cfg_sweep(combo):
     w32i, meta = pack_blocks(blocks, cfg)
     pk = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg,
                  interpret=True)
-    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg,
+    pa_cfg = cfg
+    if cfg.chain:
+        from lizard_tpu.ops.enc_lanes import p15_call
+        pk = p15_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg,
+                      interpret=True)
+        pa_cfg = dataclasses.replace(cfg, chain=0)
+    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), pa_cfg,
                   interpret=True)
-    got = unpack_tokens(tok, cfg)
+    got = unpack_tokens(tok, pa_cfg)
     want = p2_reference(blocks, cfg)
     for b in range(8):
         assert got[b] == want[b], (
