@@ -244,13 +244,16 @@ def bench_encode_lanes(data, seconds):
     p1+passA kernels over distinct 1 MB groups (Pallas kernels are
     side-effecting and never served from the axon execution cache), plus
     the end-to-end ratio through host emission."""
+    import dataclasses
     import numpy as np
     import jax.numpy as jnp
-    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call, pA_call,
-                                          pack_blocks,
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call,
+                                          p15_call, pA_call, pack_blocks,
                                           encode_blocks_lanes)
 
-    cfg = cfg_for_level(int(os.environ.get("BENCH_ENC_LEVEL", "11")))
+    enc_level = int(os.environ.get("BENCH_ENC_LEVEL", "11"))
+    cfg = cfg_for_level(enc_level)
+    pa_cfg = dataclasses.replace(cfg, chain=0) if cfg.chain else cfg
     il = int(os.environ.get("BENCH_ENC_IL", "1"))
     N = cfg.n
     blocks = [data[i:i + N] for i in range(0, len(data), N)]
@@ -270,8 +273,11 @@ def bench_encode_lanes(data, seconds):
     def run_group(grp):
         w, m, ws, ms = grp
         p1s = [p1_call(wk, mk, cfg) for wk, mk in zip(ws, ms)]
+        if cfg.chain:       # phase 1.5: chain walk into map 0
+            p1s = [p15_call(wk, pk, mk, cfg)
+                   for wk, mk, pk in zip(ws, ms, p1s)]
         cands = jnp.concatenate(p1s, axis=0) if il > 1 else p1s[0]
-        return pA_call(w, cands, m, cfg, il=il)
+        return pA_call(w, cands, m, pa_cfg, il=il)
 
     run_group(groups[0]).block_until_ready()    # warm compile
 
@@ -289,7 +295,7 @@ def bench_encode_lanes(data, seconds):
     tok.block_until_ready()
     dt = time.perf_counter() - t0
 
-    comp = encode_blocks_lanes(blocks[:32], level=11)
+    comp = encode_blocks_lanes(blocks[:32], level=enc_level)
     ratio = sum(map(len, comp)) / sum(len(b) for b in blocks[:32])
     # round-trip spot check
     from lizard_tpu.ref.block_decode import decompress

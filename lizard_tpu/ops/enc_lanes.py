@@ -1307,7 +1307,11 @@ def cfg_for_level(level: int) -> EncCfg:
     """Level-mapped encoder geometry. Level 10 mirrors the reference's
     small fast table; 11+ use the full 16-bit offset reach (measured
     +35% ratio on the bench corpus; the dynamic-reach chains keep the
-    verify/extension cost proportional to offsets actually used)."""
+    verify/extension cost proportional to offsets actually used).
+    x6..x9 are the hash-chain tiers (phase 1.5 prewalk): depth, hash
+    width and ranking depth rise together — 16 MB bench-mirror ratios
+    0.5190 / 0.5147 / 0.5068 / 0.5039 vs the reference ladder -14
+    0.5309, -17 0.4930 (their -17 also has a 2x bigger window)."""
     sub = level % 10
     if sub == 0:
         # greedy single-table with the full 16-bit reach: measured
@@ -1320,7 +1324,15 @@ def cfg_for_level(level: int) -> EncCfg:
         return EncCfg(maxoff=65535, lazy=1, k5=1)
     if sub <= 4:
         return EncCfg(maxoff=65535, lazy=2, k5=2)
-    return EncCfg(maxoff=65535, lazy=2, k5=4)
+    if sub == 5:
+        return EncCfg(maxoff=65535, lazy=2, k5=4)
+    if sub == 6:
+        return EncCfg(maxoff=65535, lazy=2, chain=16, hl=15)
+    if sub == 7:
+        return EncCfg(maxoff=65535, lazy=2, chain=16, hl=15, pref=16)
+    if sub == 8:
+        return EncCfg(maxoff=65535, lazy=2, chain=32, hl=16, pref=16)
+    return EncCfg(maxoff=65535, lazy=2, chain=64, hl=16, pref=16)
 
 
 def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,

@@ -84,15 +84,18 @@ def test_production_liz_big_window_far_matches(level):
 
 
 @pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
-@pytest.mark.parametrize("level", (10, 11, 21))
+@pytest.mark.parametrize("level", (10, 11, 21, 14, 17, 19))
 def test_encoder_production_parity(level):
     """Pass A on the real chip at production geometry (128 KB blocks,
-    64 KB reach for 11+) must emit exactly the mirror's token lists and
-    the streams must round-trip."""
+    64 KB reach for 11+; 17/19 = hash-chain prewalk tiers) must emit
+    exactly the mirror's token lists and the streams must round-trip."""
+    import dataclasses
     import jax.numpy as jnp
     import numpy as np
     from bench import build_corpus
-    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call, pA_call,
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, p1_call,
+                                          p15_call, p15_reference,
+                                          pA_call,
                                           pack_blocks, unpack_tokens,
                                           p2_reference, p1_reference,
                                           unpack_d16,
@@ -104,11 +107,22 @@ def test_encoder_production_parity(level):
     blocks = [data[i:i + cfg.n] for i in range(0, len(data), cfg.n)][:8]
     w32i, meta = pack_blocks(blocks, cfg)
     pk = p1_call(jnp.asarray(w32i), jnp.asarray(meta), cfg)
-    got_d = unpack_d16(pk, cfg)
     ref_d, _ = p1_reference(blocks, cfg)
-    assert np.array_equal(got_d, ref_d), "p1 hardware != mirror"
-    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg)
-    got = unpack_tokens(tok, cfg)
+    for m in range(cfg.nmaps):
+        got_d = unpack_d16(pk, cfg, m=m)
+        want_d = ref_d if cfg.nmaps == 1 else ref_d[:, m]
+        assert np.array_equal(got_d, want_d), f"p1 hw != mirror, map {m}"
+    pa_cfg = cfg
+    if cfg.chain:
+        pk = p15_call(jnp.asarray(w32i), pk, jnp.asarray(meta), cfg)
+        pa_cfg = dataclasses.replace(cfg, chain=0)
+        wref = p15_reference(blocks, cfg, dmap=ref_d)
+        for m in range(pa_cfg.nmaps):
+            got_d = unpack_d16(pk, pa_cfg, m=m)
+            want_d = wref if pa_cfg.nmaps == 1 else wref[:, m]
+            assert np.array_equal(got_d, want_d), f"p15 hw map {m}"
+    tok = pA_call(jnp.asarray(w32i), pk, jnp.asarray(meta), pa_cfg)
+    got = unpack_tokens(tok, pa_cfg)
     want = p2_reference(blocks, cfg, dmap=ref_d)
     for b in range(8):
         assert got[b] == want[b], f"passA hardware != mirror, block {b}"

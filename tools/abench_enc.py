@@ -20,9 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import dataclasses
     import jax.numpy as jnp
-    from lizard_tpu.ops.enc_lanes import (EncCfg, p1_call, pA_call,
-                                          pack_blocks, unpack_token_arrays,
+    from lizard_tpu.ops.enc_lanes import (EncCfg, p1_call, p15_call,
+                                          pA_call, pack_blocks,
+                                          unpack_token_arrays,
                                           emit_tokens)
     from bench import build_corpus
 
@@ -36,7 +38,10 @@ def main():
         cfg = EncCfg(hl=int(os.environ.get("ENC_HL", "13")),
                      maxoff=int(os.environ.get("ENC_MAXOFF", "16383")),
                      lazy=os.environ.get("ENC_LAZY", "0") == "1",
-                     k5=int(os.environ.get("ENC_K5", "0")))
+                     k5=int(os.environ.get("ENC_K5", "0")),
+                     chain=int(os.environ.get("ENC_CHAIN", "0")),
+                     pref=int(os.environ.get("ENC_PREF", "8")))
+    pa_cfg = dataclasses.replace(cfg, chain=0) if cfg.chain else cfg
     N = cfg.n
     data = build_corpus(mb << 20)
     blocks = [data[i:i + N] for i in range(0, len(data), N)]
@@ -53,8 +58,14 @@ def main():
     pk0 = p1_call(*groups[0], cfg)
     pk0.block_until_ready()
     print(f"p1 compile+run: {time.time()-t0:.1f}s", flush=True)
+    if cfg.chain:
+        t0 = time.time()
+        w0 = p15_call(groups[0][0], pk0, groups[0][1], cfg)
+        w0.block_until_ready()
+        print(f"p15 compile+run: {time.time()-t0:.1f}s", flush=True)
+        pk0 = w0
     t0 = time.time()
-    tok0 = pA_call(groups[0][0], pk0, groups[0][1], cfg)
+    tok0 = pA_call(groups[0][0], pk0, groups[0][1], pa_cfg)
     tok0.block_until_ready()
     print(f"pA compile+run: {time.time()-t0:.1f}s", flush=True)
 
@@ -72,9 +83,25 @@ def main():
     print(f"p1: {dt1*1e3:.1f} ms for {nbytes>>20} MB = "
           f"{nbytes/dt1/1e9:.3f} GB/s", flush=True)
 
+    if cfg.chain:
+        def run_p15():
+            outs = [p15_call(w, pk, m, cfg)
+                    for (w, m), pk in zip(groups, packs)]
+            outs[-1].block_until_ready()
+            return outs
+
+        wins = run_p15()
+        t0 = time.perf_counter()
+        wins = run_p15()
+        dt15 = time.perf_counter() - t0
+        dt1 += dt15
+        packs = wins
+        print(f"p15: {dt15*1e3:.1f} ms = {nbytes/dt15/1e9:.3f} GB/s",
+              flush=True)
+
     if what in ("pA", "both"):
         def run_pa():
-            outs = [pA_call(w, pk, m, cfg)
+            outs = [pA_call(w, pk, m, pa_cfg)
                     for (w, m), pk in zip(groups, packs)]
             outs[-1].block_until_ready()
             return outs
