@@ -1399,18 +1399,22 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
             for k, d in enumerate(part):
                 res[base + k] = _fallback_inner(d, level)
             continue
-        fam = level // 10
         for k, d in enumerate(part):
             st, ml, off = arrs[k]
-            if fam in (2, 4):                  # LIZv1 codewords
-                flags, lits, off16 = emit_tokens_liz(d, st, ml, off)
-                res[base + k] = assemble_block(d, flags, lits, off16,
-                                               huff=(fam == 4))
-            else:                              # fastLZ4 codewords
-                flags, lits = emit_tokens(d, st, ml, off)
-                res[base + k] = assemble_block(d, flags, lits, b"",
-                                               huff=(fam == 3))
+            res[base + k] = emit_inner(d, st, ml, off, level)
     return [bytes([level]) + b for b in res]
+
+
+def emit_inner(d, st, ml, off, level):
+    """Pass B for one block: serialize a token list into the level's
+    codeword family (+ Huff0 stage for 30-49). Returns the inner block
+    (no level byte)."""
+    fam = level // 10
+    if fam in (2, 4):                          # LIZv1 codewords
+        flags, lits, off16 = emit_tokens_liz(d, st, ml, off)
+        return assemble_block(d, flags, lits, off16, huff=(fam == 4))
+    flags, lits = emit_tokens(d, st, ml, off)  # fastLZ4 codewords
+    return assemble_block(d, flags, lits, b"", huff=(fam == 3))
 
 
 def _fallback_inner(d, level):

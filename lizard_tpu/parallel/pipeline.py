@@ -201,3 +201,77 @@ def decode_frame_sharded(frame: bytes, mesh: Mesh | None = None) -> bytes:
     if crc is not None and xxh32(bytes(out)) != crc:
         raise FrameError("content checksum mismatch")
     return bytes(out)
+
+
+# ------------------------------------------------------------------ encode
+
+def make_sharded_encoder(mesh: Mesh, cfg, interpret=False):
+    """Jitted multi-chip ENCODE step for the Pallas lane pipeline:
+    each device runs phase 1 (+ phase 1.5 for chain tiers) + pass A on
+    its own group of 8 blocks (pure data parallel — groups are
+    independent, SURVEY.md section 2.5); the host then runs pass B
+    (emission) per block. Inputs are [n_shards, ...] stacked
+    pack_blocks outputs; output is [n_shards, tok_rows, 128]."""
+    import dataclasses
+    import functools as ft
+
+    from lizard_tpu.ops.enc_lanes import p1_call, p15_call, pA_call
+
+    pa_cfg = dataclasses.replace(cfg, chain=0) if cfg.chain else cfg
+
+    @ft.partial(jax.shard_map, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                out_specs=P("dp"), check_vma=False)
+    def step(w32, meta):
+        pk = p1_call(w32[0], meta[0], cfg, interpret=interpret)
+        if cfg.chain:
+            pk = p15_call(w32[0], pk, meta[0], cfg, interpret=interpret)
+        tok = pA_call(w32[0], pk, meta[0], pa_cfg, interpret=interpret)
+        return tok[None]
+
+    return jax.jit(step)
+
+
+def encode_blocks_sharded(blocks, level=10, cfg=None, mesh: Mesh = None,
+                          interpret=None):
+    """Compress up-to-128 KB blocks data-parallel over the mesh (one
+    8-block group per device per step). Same output contract as
+    ops/enc_lanes.encode_blocks_lanes: one container stream (level
+    byte + inner block) per input, decodable by liblizard."""
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, emit_inner,
+                                          pack_blocks,
+                                          unpack_token_arrays)
+
+    if cfg is None:
+        cfg = cfg_for_level(level)
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    S = mesh.devices.size
+    step = make_sharded_encoder(mesh, cfg, interpret=interpret)
+
+    groups = [blocks[i:i + 8] for i in range(0, len(blocks), 8)]
+    res = []
+    for base in range(0, len(groups), S):
+        batch = groups[base:base + S]
+        while len(batch) < S:                    # pad the last step
+            batch = batch + [[b""]]
+        packs = [pack_blocks(g, cfg) for g in batch]
+        W = np.stack([w for w, _ in packs])
+        M = np.stack([m for _, m in packs])
+        toks = np.asarray(step(jnp.asarray(W), jnp.asarray(M)))
+        for s, grp in enumerate(groups[base:base + S]):
+            try:
+                arrs = unpack_token_arrays(toks[s], cfg)
+            except Exception:
+                # token-buffer overflow (pathological density) or a
+                # device-side failure: this group re-encodes on host
+                from lizard_tpu.ops.enc_lanes import _fallback_inner
+                res.extend(bytes([level]) + _fallback_inner(d, level)
+                           for d in grp)
+                continue
+            for k, d in enumerate(grp):
+                st, ml, off = arrs[k]
+                res.append(bytes([level]) + emit_inner(d, st, ml, off,
+                                                       level))
+    return res

@@ -514,3 +514,29 @@ def test_lane_frame_corruption_detected():
         out = decompress_frame(bytes(f))
         if out != d:                     # corrupt-but-decodable payload
             raise ValueError("content checksum mismatch")
+
+
+def test_encode_blocks_sharded_multichip():
+    """Data-parallel lane encode over the virtual 8-device mesh: each
+    device parses one 8-block group (p1 + p15 chain walk + pass A under
+    shard_map); outputs must match the single-device pipeline exactly
+    and round-trip."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+    from lizard_tpu.parallel.pipeline import encode_blocks_sharded
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.utils.datagen import gen, text_like
+
+    cfg = dataclasses.replace(CFG, n=4096, maxoff=2047, lazy=1, chain=2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    blocks = [gen(cfg.n - 3 * i, seed=70 + i, proba=0.6)
+              for i in range(17)] + [text_like(cfg.n, 99), b"", b"abc"]
+    got = encode_blocks_sharded(blocks, level=17, cfg=cfg, mesh=mesh,
+                                interpret=True)
+    want = encode_blocks_lanes(blocks, level=17, cfg=cfg, interpret=True)
+    assert got == want, "sharded != single-device streams"
+    for d, e in zip(blocks, got):
+        assert bytes(decompress(e, max_out=max(len(d), 1))) == d
