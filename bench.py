@@ -303,6 +303,57 @@ def bench_encode_lanes(data, seconds):
     return done / dt / 1e9, ratio
 
 
+def bench_huf_encode(data, seconds):
+    """TPU Huff0 bit-packing kernel (ops/enc_huf.py): GB/s of symbols
+    packed over distinct 8-stream groups of 32 KB chunks (tables built
+    host-side once per chunk, outside the timed region, like the
+    decode benches keep table build out)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lizard_tpu.ops.enc_huf import henc_call, pack_streams
+    from lizard_tpu.ref.huf_encode import (HUF_TABLELOG_DEFAULT,
+                                           _fse_count,
+                                           fse_optimal_table_log,
+                                           huf_build_ctable)
+
+    CH = 32768
+    chunks = [data[i:i + CH] for i in range(0, len(data), CH)]
+    chunks = chunks[:len(chunks) & ~7]
+    groups = []
+    for base in range(0, len(chunks), 8):
+        grp = chunks[base:base + 8]
+        tables = []
+        for c in grp:
+            count, max_sym, largest = _fse_count(c, 255)
+            if largest == len(c):
+                tables.append((np.zeros(256, np.int64),
+                               np.zeros(256, np.int64)))
+                continue
+            hl = fse_optimal_table_log(HUF_TABLELOG_DEFAULT, len(c),
+                                       max_sym, minus=1)
+            nb, val, hl = huf_build_ctable(count, max_sym, hl)
+            tables.append((val, nb))
+        syms, tab, meta, stiles, otiles = pack_streams(grp, tables)
+        groups.append((jnp.asarray(syms), jnp.asarray(tab),
+                       jnp.asarray(meta), stiles, otiles))
+    for g in groups:
+        g[0].block_until_ready()
+
+    def run():
+        outs = [henc_call(s, t, m, st, ot)
+                for (s, t, m, st, ot) in groups]
+        outs[-1].block_until_ready()
+
+    run()                                        # warm compile
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() - t0 < seconds:
+        run()
+        done += 8 * CH * len(groups)
+    dt = time.perf_counter() - t0
+    return done / dt / 1e9
+
+
 def main():
     import jax
 
@@ -360,6 +411,12 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             result["encode_lanes"] = {"error": str(e)[:120]}
+        try:
+            hg = bench_huf_encode(data, min(BENCH_SECONDS, 2.0))
+            result["huf_enc_tpu"] = {"gbps": round(hg, 4)}
+            print(f"# huf_enc_tpu: {hg:.4f} GB/s", file=sys.stderr)
+        except Exception as e:
+            result["huf_enc_tpu"] = {"error": str(e)[:120]}
 
     print(json.dumps(result))
 

@@ -1246,8 +1246,14 @@ def assemble_block(data, flags, lits, off16=b"", huff=False):
 
     def write_stream(out, stream, use_huff):
         if use_huff and len(stream) > 1024:
-            from lizard_tpu import runtime
-            comp = runtime.huf_compress(bytes(stream))
+            if _os.environ.get("LIZARD_TPU_HUF") == "tpu":
+                # TPU lane bit-packing (ops/enc_huf.py): byte-identical
+                # to the native/python Huff0 encoders
+                from lizard_tpu.ops.enc_huf import huf_compress_tpu
+                comp = huf_compress_tpu(bytes(stream))
+            else:
+                from lizard_tpu import runtime
+                comp = runtime.huf_compress(bytes(stream))
             if (comp is not None and len(comp) > 0
                     and minimal_huff_gain(len(comp)) < len(stream)):
                 out += len(stream).to_bytes(3, "little")
@@ -1408,12 +1414,22 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
 def emit_inner(d, st, ml, off, level):
     """Pass B for one block: serialize a token list into the level's
     codeword family (+ Huff0 stage for 30-49). Returns the inner block
-    (no level byte)."""
+    (no level byte). The token loop runs through the native runtime
+    when available (~10x the numpy scatter path, whose np.repeat
+    literal copy moves 24 index bytes per literal byte); both emit
+    byte-identical streams (tests/test_native_runtime.py)."""
+    from lizard_tpu import runtime
     fam = level // 10
     if fam in (2, 4):                          # LIZv1 codewords
-        flags, lits, off16 = emit_tokens_liz(d, st, ml, off)
+        r = runtime.emit_liz(d, st, ml, off)
+        if r is None:
+            r = emit_tokens_liz(d, st, ml, off)
+        flags, lits, off16 = r
         return assemble_block(d, flags, lits, off16, huff=(fam == 4))
-    flags, lits = emit_tokens(d, st, ml, off)  # fastLZ4 codewords
+    r = runtime.emit_lz4(d, st, ml, off)       # fastLZ4 codewords
+    if r is None:
+        r = emit_tokens(d, st, ml, off)
+    flags, lits = r
     return assemble_block(d, flags, lits, b"", huff=(fam == 3))
 
 

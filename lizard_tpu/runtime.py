@@ -59,6 +59,17 @@ def _load():
     lib.ltpu_huf_compress.restype = ctypes.c_int64
     lib.ltpu_huf_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_char_p, ctypes.c_size_t]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ltpu_emit_lz4.restype = ctypes.c_int64
+    lib.ltpu_emit_lz4.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  i64p, i64p, i64p, ctypes.c_int64,
+                                  ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int64]
+    lib.ltpu_emit_liz.restype = ctypes.c_int64
+    lib.ltpu_emit_liz.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  i64p, i64p, i64p, ctypes.c_int64,
+                                  ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int64, ctypes.c_char_p, i64p]
     _lib = lib
     return lib
 
@@ -162,3 +173,53 @@ def huf_compress(data: bytes) -> bytes | None:
     if r <= 0:
         return None
     return dst.raw[:r]
+
+
+def emit_lz4(data: bytes, st, ml, off):
+    """Native pass B (fastLZ4): token arrays -> (flags, lits) bytes,
+    byte-identical to ops/enc_lanes.emit_tokens. None when the native
+    runtime is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    st = np.ascontiguousarray(st, np.int64)
+    ml = np.ascontiguousarray(ml, np.int64)
+    off = np.ascontiguousarray(off, np.int64)
+    nt = len(st)
+    cap = len(data) + nt * 10 + 32
+    flags = ctypes.create_string_buffer(max(nt, 1))
+    lits = ctypes.create_string_buffer(cap)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.ltpu_emit_lz4(data, len(data),
+                          st.ctypes.data_as(i64p), ml.ctypes.data_as(i64p),
+                          off.ctypes.data_as(i64p), nt, flags, lits, cap)
+    if r < 0:
+        raise RuntimeError("emit_lz4 overflow")
+    return flags.raw[:nt], lits.raw[:r]
+
+
+def emit_liz(data: bytes, st, ml, off):
+    """Native pass B (LIZv1, offsets < 2^16): token arrays ->
+    (flags, lits, off16) bytes, byte-identical to emit_tokens_liz."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    st = np.ascontiguousarray(st, np.int64)
+    ml = np.ascontiguousarray(ml, np.int64)
+    off = np.ascontiguousarray(off, np.int64)
+    nt = len(st)
+    cap = len(data) + nt * 10 + 32
+    flags = ctypes.create_string_buffer(max(nt, 1))
+    lits = ctypes.create_string_buffer(cap)
+    off16 = ctypes.create_string_buffer(max(nt * 2, 1))
+    olen = ctypes.c_int64(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.ltpu_emit_liz(data, len(data),
+                          st.ctypes.data_as(i64p), ml.ctypes.data_as(i64p),
+                          off.ctypes.data_as(i64p), nt, flags, lits, cap,
+                          off16, ctypes.byref(olen))
+    if r < 0:
+        raise RuntimeError("emit_liz overflow")
+    return flags.raw[:nt], lits.raw[:r], off16.raw[:olen.value]

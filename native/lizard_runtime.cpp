@@ -769,26 +769,53 @@ constexpr int kFseMaxTableLog = 12;
 inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
 
 struct BW {
-  // BIT_CStream_t model: LSB-first concat, close() appends the end-mark bit
+  // BIT_CStream_t model: LSB-first concat, close() appends the end-mark
+  // bit. Bits batch in a 64-bit accumulator and flush whole bytes with
+  // one 8-byte store (the byte-at-a-time push_back variant measured
+  // 96 MB/s; this one >500 MB/s). Safe for add() of up to 32 bits: the
+  // accumulator is drained below 32 pending bits after every add.
   std::vector<uint8_t> buf;
+  size_t pos = 0;
   uint64_t acc = 0;
   int nbits = 0;
   inline void add(uint32_t v, int nb) {
     acc |= (uint64_t)(v & ((nb < 32 ? (1u << nb) : 0u) - 1u)) << nbits;
     nbits += nb;
-    while (nbits >= 8) {
-      buf.push_back((uint8_t)acc);
-      acc >>= 8;
-      nbits -= 8;
-    }
+    if (nbits >= 32) flush();
+  }
+  inline void flush() {
+    if (buf.size() < pos + 16) buf.resize((pos + 16) * 2);
+    std::memcpy(buf.data() + pos, &acc, 8);       // LE host
+    int k = nbits >> 3;
+    pos += (size_t)k;
+    acc >>= 8 * k;
+    nbits &= 7;
+  }
+  // hot-path pair (huf_encode_1x): codes are pre-masked table values
+  // and the caller pre-sizes buf, so neither the mask nor the resize
+  // check is needed; 4 codes of <= 11 bits batch between flushes
+  // (7 + 44 <= 64)
+  inline void add_fast(uint32_t v, int nb) {
+    acc |= (uint64_t)v << nbits;
+    nbits += nb;
+  }
+  inline void flush_unchecked() {
+    std::memcpy(buf.data() + pos, &acc, 8);
+    int k = nbits >> 3;
+    pos += (size_t)k;
+    acc >>= 8 * k;
+    nbits &= 7;
   }
   inline void close() {
     add(1, 1);
+    flush();
     if (nbits) {
-      buf.push_back((uint8_t)acc);
+      if (buf.size() < pos + 1) buf.resize(pos + 8);
+      buf[pos++] = (uint8_t)acc;
       acc = 0;
       nbits = 0;
     }
+    buf.resize(pos);
   }
 };
 
@@ -1346,16 +1373,19 @@ inline void huf_encode_1x(const uint8_t* src, size_t len,
                           const uint16_t* sym_val, const uint8_t* sym_nb_bits,
                           std::vector<uint8_t>& out) {
   BW bw;
+  bw.buf.resize(len * 11 / 8 + 64);   // max 11 bits/symbol + slack
   size_t n = len & ~(size_t)3;
   size_t rem = len & 3;
-  if (rem >= 3) bw.add(sym_val[src[n + 2]], sym_nb_bits[src[n + 2]]);
-  if (rem >= 2) bw.add(sym_val[src[n + 1]], sym_nb_bits[src[n + 1]]);
-  if (rem >= 1) bw.add(sym_val[src[n]], sym_nb_bits[src[n]]);
+  if (rem >= 3) bw.add_fast(sym_val[src[n + 2]], sym_nb_bits[src[n + 2]]);
+  if (rem >= 2) bw.add_fast(sym_val[src[n + 1]], sym_nb_bits[src[n + 1]]);
+  if (rem >= 1) bw.add_fast(sym_val[src[n]], sym_nb_bits[src[n]]);
+  if (rem) bw.flush_unchecked();
   while (n > 0) {
-    bw.add(sym_val[src[n - 1]], sym_nb_bits[src[n - 1]]);
-    bw.add(sym_val[src[n - 2]], sym_nb_bits[src[n - 2]]);
-    bw.add(sym_val[src[n - 3]], sym_nb_bits[src[n - 3]]);
-    bw.add(sym_val[src[n - 4]], sym_nb_bits[src[n - 4]]);
+    bw.add_fast(sym_val[src[n - 1]], sym_nb_bits[src[n - 1]]);
+    bw.add_fast(sym_val[src[n - 2]], sym_nb_bits[src[n - 2]]);
+    bw.add_fast(sym_val[src[n - 3]], sym_nb_bits[src[n - 3]]);
+    bw.add_fast(sym_val[src[n - 4]], sym_nb_bits[src[n - 4]]);
+    bw.flush_unchecked();
     n -= 4;
   }
   bw.close();
@@ -1665,6 +1695,133 @@ int64_t ltpu_huf_compress(const uint8_t* src, size_t n, uint8_t* dst,
   if (out.size() > cap) return -1;
   std::memcpy(dst, out.data(), out.size());
   return (int64_t)out.size();
+}
+
+// ---------------------------------------------------------------------
+// Pass B (emission) for the TPU lane encoder: serialize a parsed token
+// list (st, ml, off — the kernels' output) into the fastLZ4 / LIZv1
+// token streams. Layout mirrors ops/enc_lanes.emit_tokens[_liz] exactly
+// (byte-for-byte): the numpy path is the fallback/oracle; this is the
+// production host stage (the numpy scatter runs at ~65 MB/s, this at
+// memcpy speed).
+
+// fastLZ4: flags[i] = min(ll,15) | min(ml-4,15)<<4; lits stream per
+// token = [ext_ll][literals][off LE16][ext_ml], then the tail literals.
+// Returns lits length, or -1 if lits_cap is too small. flags length
+// is nt by construction.
+int64_t ltpu_emit_lz4(const uint8_t* src, int64_t n, const int64_t* st,
+                      const int64_t* ml, const int64_t* off, int64_t nt,
+                      uint8_t* flags, uint8_t* lits, int64_t lits_cap) {
+  int64_t lp = 0, anchor = 0;
+  for (int64_t i = 0; i < nt; i++) {
+    int64_t ll = st[i] - anchor;
+    int64_t mlx = ml[i] - 4;
+    if (lp + ll + 10 > lits_cap) return -1;
+    flags[i] = (uint8_t)((ll < 15 ? ll : 15) |
+                         ((mlx < 15 ? mlx : 15) << 4));
+    if (ll >= 15) {
+      uint32_t v = (uint32_t)(ll - 15);
+      if (v < 254) {
+        lits[lp++] = (uint8_t)v;
+      } else if (v < 65536) {
+        lits[lp++] = 254;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+      } else {
+        lits[lp++] = 255;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+        lits[lp++] = (uint8_t)(v >> 16);
+      }
+    }
+    std::memcpy(lits + lp, src + anchor, (size_t)ll);
+    lp += ll;
+    lits[lp++] = (uint8_t)off[i];
+    lits[lp++] = (uint8_t)(off[i] >> 8);
+    if (mlx >= 15) {
+      uint32_t v = (uint32_t)(mlx - 15);
+      if (v < 254) {
+        lits[lp++] = (uint8_t)v;
+      } else if (v < 65536) {
+        lits[lp++] = 254;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+      } else {
+        lits[lp++] = 255;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+        lits[lp++] = (uint8_t)(v >> 16);
+      }
+    }
+    anchor = st[i] + ml[i];
+  }
+  int64_t tail = n - anchor;
+  if (lp + tail > lits_cap) return -1;
+  std::memcpy(lits + lp, src + anchor, (size_t)tail);
+  return lp + tail;
+}
+
+// LIZv1 (offsets < 2^16 — the lane encoder's reach; rep class for a
+// repeated offset): flags[i] = min(ll,7) | min(ml,15)<<3 | rep<<7;
+// lits per token = [ext_ll][literals][ext_ml]; off16 carries LE16
+// offsets of non-rep tokens. Returns lits length (or -1 on overflow);
+// *off16_len receives the off16 stream length.
+int64_t ltpu_emit_liz(const uint8_t* src, int64_t n, const int64_t* st,
+                      const int64_t* ml, const int64_t* off, int64_t nt,
+                      uint8_t* flags, uint8_t* lits, int64_t lits_cap,
+                      uint8_t* off16, int64_t* off16_len) {
+  int64_t lp = 0, op = 0, anchor = 0, last_off = -1;
+  for (int64_t i = 0; i < nt; i++) {
+    int64_t ll = st[i] - anchor;
+    int64_t mv = ml[i];
+    bool rep = off[i] == last_off;
+    if (lp + ll + 10 > lits_cap) return -1;
+    flags[i] = (uint8_t)((ll < 7 ? ll : 7) |
+                         ((mv < 15 ? mv : 15) << 3) | (rep ? 128 : 0));
+    if (ll >= 7) {
+      uint32_t v = (uint32_t)(ll - 7);
+      if (v < 254) {
+        lits[lp++] = (uint8_t)v;
+      } else if (v < 65536) {
+        lits[lp++] = 254;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+      } else {
+        lits[lp++] = 255;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+        lits[lp++] = (uint8_t)(v >> 16);
+      }
+    }
+    std::memcpy(lits + lp, src + anchor, (size_t)ll);
+    lp += ll;
+    if (mv >= 15) {
+      uint32_t v = (uint32_t)(mv - 15);
+      if (v < 254) {
+        lits[lp++] = (uint8_t)v;
+      } else if (v < 65536) {
+        lits[lp++] = 254;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+      } else {
+        lits[lp++] = 255;
+        lits[lp++] = (uint8_t)v;
+        lits[lp++] = (uint8_t)(v >> 8);
+        lits[lp++] = (uint8_t)(v >> 16);
+      }
+    }
+    if (!rep) {
+      off16[op++] = (uint8_t)off[i];
+      off16[op++] = (uint8_t)(off[i] >> 8);
+      last_off = off[i];
+    }
+    anchor = st[i] + ml[i];
+  }
+  int64_t tail = n - anchor;
+  if (lp + tail > lits_cap) return -1;
+  std::memcpy(lits + lp, src + anchor, (size_t)tail);
+  *off16_len = op;
+  return lp + tail;
 }
 
 }  // extern "C"

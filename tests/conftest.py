@@ -14,6 +14,11 @@ import os
 _USE_TPU = os.environ.get("RUN_TPU_TESTS") == "1"
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # the persistent compile cache's serializer segfaults on some of the
+    # fuzz sweep's CPU executables (reproducible: zstandard path inside
+    # jax compilation_cache put/get); tests don't need warm-process
+    # caching, so keep it off here. The TPU/bench processes still use it.
+    os.environ.setdefault("LIZARD_TPU_NO_JAX_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -84,3 +84,29 @@ def test_native_encoder_roundtrip():
             if not data:
                 continue
             assert o.decompress(runtime.compress(data, 11), len(data)) == data
+
+
+def test_native_emit_parity():
+    """ltpu_emit_lz4/_liz must emit byte-identical streams to the numpy
+    emitters for real parses and edge cases."""
+    import numpy as np
+    import pytest
+    from lizard_tpu import runtime
+    from lizard_tpu.ops.enc_lanes import (cfg_for_level, emit_tokens,
+                                          emit_tokens_liz, p2_reference)
+    from lizard_tpu.utils.datagen import gen, text_like
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    cfg = cfg_for_level(11)
+    for d in (text_like(131072, 7), gen(131072, 8, proba=0.6),
+              gen(50000, 9, proba=0.3), b"x" * 4096, b""):
+        toks = p2_reference([d], cfg)[0]
+        st = np.array([t[0] for t in toks], np.int64)
+        ml = np.array([t[1] for t in toks], np.int64)
+        off = np.array([t[2] for t in toks], np.int64)
+        f2, l2 = emit_tokens(d, st, ml, off)
+        got = runtime.emit_lz4(d, st, ml, off)
+        assert got == (f2.tobytes(), l2.tobytes())
+        f3, l3, o3 = emit_tokens_liz(d, st, ml, off)
+        got = runtime.emit_liz(d, st, ml, off)
+        assert got == (f3.tobytes(), l3.tobytes(), o3.tobytes())
