@@ -149,6 +149,12 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                 pos = poss[i]
                 rlen_m1 = vm(i, M_RLEN)
                 out_len = vm(i, M_OLEN)
+                # hoist the loop-invariant meta planes out of the symbol
+                # steps (10 boundary planes + 2 packed-param planes per
+                # step otherwise)
+                bnds_i = [vm(i, M_BND + k) for k in range(10)]
+                pa_i = vm(i, M_PA)
+                pb_i = vm(i, M_PB)
                 sym0 = sup * (CPS * CHUNK) + c * CHUNK
 
                 # ---- window rebuild: 8 words per stream in own lanes --
@@ -168,26 +174,16 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                         acc = jnp.where(wpar == p, gth, acc)
                     wtile = jnp.where((lanes >> 3) == g, acc, wtile)
 
-                # ---- CHUNK symbol steps ----
+                # ---- CHUNK symbol steps, 2 per window read ----
+                # the 32-bit stream view v_big (bytes [ob_hi-3, ob_hi])
+                # always also covers the SECOND symbol's bits: its lowest
+                # needed bit is pos - nb1 - TL >= pos - 22, and v_big's
+                # lowest bit is 8*(ob_hi-3) <= pos - 25 (since
+                # 8*ob_hi <= pos-1), so odd steps skip the gathers
+                base_l = lanes & ~7
                 ranks = []
-                for _j in range(CHUNK):
-                    ob_hi = jnp.maximum((pos - 1) >> 3, 0)
-                    rb = jnp.maximum(rlen_m1 - ob_hi, 0)
-                    wo = jnp.clip((rb >> 2) - wb, 0, 6)
-                    ia = (lanes & ~7) + wo
-                    a = jnp.take_along_axis(wtile, ia, axis=1
-                                            ).astype(jnp.uint32)
-                    b = jnp.take_along_axis(wtile, ia + 1, axis=1
-                                            ).astype(jnp.uint32)
-                    sh = ((rb & 3) << 3)
-                    w32 = (_shr(a, sh) |
-                           jnp.where(sh == 0, jnp.uint32(0),
-                                     _shl(b, (32 - sh) & 31))
-                           ).astype(jnp.int32)
-                    v_big = (((w32 & 255) << 24) |
-                             (((w32 >> 8) & 255) << 16) |
-                             (((w32 >> 16) & 255) << 8) |
-                             ((w32 >> 24) & 255))
+
+                def classify(v_big, ob_hi, pos, j):
                     sh2 = jnp.clip(pos - TL - (ob_hi - 3) * 8, 0, 21)
                     v = (_shr(v_big.astype(jnp.uint32), sh2)
                          & ((1 << TL) - 1)).astype(jnp.int32)
@@ -195,28 +191,44 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                     vmask = jnp.left_shift(jnp.full_like(v, -1), nlow)
                     v = jnp.where(nlow > 0, v & vmask & ((1 << TL) - 1), v)
                     v = jnp.where(pos <= 0, 0, v)
-
                     wcls = jnp.full((8, 128), 1, jnp.int32)
                     for k in range(10):
-                        wcls = wcls + (v >= vm(i, M_BND + k)
-                                       ).astype(jnp.int32)
+                        wcls = wcls + (v >= bnds_i[k]).astype(jnp.int32)
                     # packed class params (classes 1..8 in PA, 9..11 PB)
-                    base_l = lanes & ~7
                     ga = jnp.take_along_axis(
-                        vm(i, M_PA), base_l + jnp.clip(wcls - 1, 0, 7),
-                        axis=1)
+                        pa_i, base_l + jnp.clip(wcls - 1, 0, 7), axis=1)
                     gb = jnp.take_along_axis(
-                        vm(i, M_PB), base_l + jnp.clip(wcls - 9, 0, 7),
-                        axis=1)
+                        pb_i, base_l + jnp.clip(wcls - 9, 0, 7), axis=1)
                     pk = jnp.where(wcls <= 8, ga, gb)
                     nb = (pk >> 11) & 15
                     shf = (pk >> 15) & 15
                     rank = ((pk >> 19) & 255) + \
                         _shr((v - (pk & 2047)).astype(jnp.uint32),
                              shf).astype(jnp.int32)
-                    alive = (sym0 + _j < out_len) & (pos > 0)
+                    alive = (sym0 + j < out_len) & (pos > 0)
                     pos = jnp.where(alive, pos - nb, pos)
                     ranks.append(jnp.where(alive, rank & 255, 0))
+                    return pos
+
+                for _j in range(0, CHUNK, 2):
+                    ob_hi = jnp.maximum((pos - 1) >> 3, 0)
+                    rb = jnp.maximum(rlen_m1 - ob_hi, 0)
+                    wo = jnp.clip((rb >> 2) - wb, 0, 6)
+                    ia = base_l + wo
+                    a = jnp.take_along_axis(wtile, ia, axis=1
+                                            ).astype(jnp.uint32)
+                    b = jnp.take_along_axis(wtile, ia + 1, axis=1
+                                            ).astype(jnp.uint32)
+                    # pool words are byte-swapped on the host (big-endian
+                    # packing), so the stream-order 32-bit view assembles
+                    # with two shifts -- no per-step byte reverse
+                    sh = ((rb & 3) << 3)
+                    v_big = (_shl(a, sh) |
+                             jnp.where(sh == 0, jnp.uint32(0),
+                                       _shr(b, (32 - sh) & 31))
+                             ).astype(jnp.int32)
+                    pos = classify(v_big, ob_hi, pos, _j)
+                    pos = classify(v_big, ob_hi, pos, _j + 1)
 
                 # ---- pack CHUNK ranks -> 4 words -> oacc[:, 4c:4c+4) --
                 ws = []
@@ -500,7 +512,11 @@ def prepare_huf128(blobs, groups=8):
 
     segs.append(np.zeros(512, np.uint8))
     cursor += 1
-    pool = np.concatenate(segs).view(np.int32).reshape(cursor, 128)
+    # byte-swap each 32-bit word (big-endian packing): the kernel's
+    # symbol step then assembles the stream-order view with two shifts
+    # instead of a per-step byte reverse
+    pool = (np.concatenate(segs).reshape(-1, 4)[:, ::-1]
+            .reshape(-1).copy().view(np.int32).reshape(cursor, 128))
     luts_arr = (np.concatenate(luts, 0) if luts
                 else np.zeros((8, 128), np.int32))
     tr = np.zeros(((len(tmeta_rows) + 127) // 128) * 128, np.int32)
