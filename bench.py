@@ -195,6 +195,30 @@ def bench_encode(data):
     return out
 
 
+def bench_decode_native(data):
+    """Native C++ host decoder GB/s per family level (decoding the
+    bit-exact oracle-equivalent streams produced by the native
+    encoder). The host-runtime counterpart of the reference's headline
+    lzbench numbers (BASELINE.md)."""
+    from lizard_tpu import runtime
+    if not runtime.available():
+        return {}
+    out = {}
+    for level in ENCODE_LEVELS:
+        comp = runtime.compress(data, level)
+        dec = runtime.decompress(comp, len(data))
+        if dec != data:
+            out[str(level)] = {"error": "round-trip mismatch"}
+            continue
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            runtime.decompress(comp, len(data))
+            best = min(best, time.perf_counter() - t0)
+        out[str(level)] = {"gbps": round(len(data) / best / 1e9, 3)}
+    return out
+
+
 def bench_encode_tpu(data, seconds):
     """TPU-native fastLZ4 encoder (ops/encode_tpu.py): on-device GB/s +
     ratio. Timed with a DEPENDENT chain — the axon runtime caches
@@ -395,6 +419,10 @@ def main():
             result["encode_mbps"] = bench_encode(data)
         except Exception as e:
             result["encode_mbps"] = {"error": str(e)[:120]}
+        try:
+            result["decode_native"] = bench_decode_native(data)
+        except Exception as e:
+            result["decode_native"] = {"error": str(e)[:120]}
         try:
             eg, er = bench_encode_tpu(data, min(BENCH_SECONDS, 2.0))
             result["encode_tpu"] = {"gbps": round(eg, 4),

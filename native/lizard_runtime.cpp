@@ -109,8 +109,17 @@ struct BitReader {
   }
   uint32_t look(int nbits) const {
     if (nbits == 0) return 0;
-    uint32_t v = 0;
     int64_t lo = bitpos - nbits;
+    int64_t hb = (bitpos - 1) >> 3;        // highest byte needed
+    if (lo >= 0 && hb >= 3) {
+      // word path: bits [lo, lo+nbits) from a 4-byte LE load ending at
+      // hb (nbits <= 12 so the span fits; shift = lo - 8*(hb-3) is in
+      // [0, 31] because lo >= 8*hb - 11 + 1)
+      uint32_t w;
+      std::memcpy(&w, base + hb - 3, 4);   // LE host
+      return (w >> (lo - ((hb - 3) << 3))) & ((1u << nbits) - 1);
+    }
+    uint32_t v = 0;
     for (int i = 0; i < nbits; ++i) {
       int64_t b = lo + i;
       if (b >= 0) {
@@ -310,17 +319,87 @@ bool huf_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t dst_size)
                           body + 6 + l1 + l2 + l3};
   size_t ls[4] = {l1, l2, l3, l4};
   size_t outs[4] = {seg, seg, seg, dst_size - 3 * seg};
-  size_t off = 0;
+  // fused entry (sym | bits<<8) so the hot loop does one table load
+  const int tl = ht.table_log;
+  uint16_t dtab[1 << 12];
+  for (uint32_t v = 0; v < (1u << tl); ++v)
+    dtab[v] = (uint16_t)(ht.sym[v] | (ht.bits[v] << 8));
+  // with a 64-bit container reloaded to end at the highest needed byte,
+  // accbase >= bitpos-63 and each peek needs lo = bitpos-tl >= accbase:
+  // 4 symbols per reload are safe for tl <= 11, 3 for tl = 12
+  const int spr = tl <= 11 ? 4 : 3;
+  const uint32_t mask = (1u << tl) - 1;
+  BitReader br0(ps[0], ls[0]), br1(ps[1], ls[1]);
+  BitReader br2(ps[2], ls[2]), br3(ps[3], ls[3]);
+  BitReader* brs[4] = {&br0, &br1, &br2, &br3};
+  uint8_t* ds[4] = {dst, dst + seg, dst + 2 * seg, dst + 3 * seg};
+  for (int k = 0; k < 4; ++k)
+    if (brs[k]->bad) return false;
+  // lockstep across the 4 independent streams (4 dependency chains in
+  // flight -- the per-symbol bitpos->shift->load chain is the bound)
+  size_t i = 0;
+  size_t n_min = outs[3];
+  while (i + (size_t)spr <= n_min && br0.bitpos >= 64 &&
+         br1.bitpos >= 64 && br2.bitpos >= 64 && br3.bitpos >= 64) {
+    uint64_t a0, a1, a2, a3;
+    int64_t b0 = ((br0.bitpos - 1) >> 3) - 7;
+    int64_t b1 = ((br1.bitpos - 1) >> 3) - 7;
+    int64_t b2 = ((br2.bitpos - 1) >> 3) - 7;
+    int64_t b3 = ((br3.bitpos - 1) >> 3) - 7;
+    std::memcpy(&a0, br0.base + b0, 8);            // LE host
+    std::memcpy(&a1, br1.base + b1, 8);
+    std::memcpy(&a2, br2.base + b2, 8);
+    std::memcpy(&a3, br3.base + b3, 8);
+    int64_t p0 = br0.bitpos - (b0 << 3) - tl;
+    int64_t p1 = br1.bitpos - (b1 << 3) - tl;
+    int64_t p2 = br2.bitpos - (b2 << 3) - tl;
+    int64_t p3 = br3.bitpos - (b3 << 3) - tl;
+    for (int j = 0; j < spr; ++j) {
+      uint16_t e0 = dtab[(uint32_t)(a0 >> p0) & mask];
+      uint16_t e1 = dtab[(uint32_t)(a1 >> p1) & mask];
+      uint16_t e2 = dtab[(uint32_t)(a2 >> p2) & mask];
+      uint16_t e3 = dtab[(uint32_t)(a3 >> p3) & mask];
+      ds[0][i + j] = (uint8_t)e0;
+      ds[1][i + j] = (uint8_t)e1;
+      ds[2][i + j] = (uint8_t)e2;
+      ds[3][i + j] = (uint8_t)e3;
+      p0 -= e0 >> 8;
+      p1 -= e1 >> 8;
+      p2 -= e2 >> 8;
+      p3 -= e3 >> 8;
+    }
+    br0.bitpos = p0 + (b0 << 3) + tl;
+    br1.bitpos = p1 + (b1 << 3) + tl;
+    br2.bitpos = p2 + (b2 << 3) + tl;
+    br3.bitpos = p3 + (b3 << 3) + tl;
+    i += spr;
+  }
+  // per-stream tails (and any stream the lockstep loop never entered)
   for (int k = 0; k < 4; ++k) {
-    BitReader br(ps[k], ls[k]);
-    if (br.bad) return false;
-    for (size_t i = 0; i < outs[k]; ++i) {
-      uint32_t v = br.look(ht.table_log);
-      dst[off + i] = ht.sym[v];
-      br.bitpos -= ht.bits[v];
+    BitReader& br = *brs[k];
+    uint8_t* d = ds[k];
+    size_t n_out = outs[k];
+    size_t ik = i < n_out ? i : n_out;
+    while (ik + (size_t)spr <= n_out && br.bitpos >= 64) {
+      int64_t pb = ((br.bitpos - 1) >> 3) - 7;
+      uint64_t acc;
+      std::memcpy(&acc, br.base + pb, 8);
+      int64_t accbase = pb << 3;
+      for (int j = 0; j < spr; ++j) {
+        uint32_t v = (uint32_t)(acc >> (br.bitpos - tl - accbase)) & mask;
+        uint16_t e = dtab[v];
+        d[ik + j] = (uint8_t)e;
+        br.bitpos -= e >> 8;
+      }
+      ik += spr;
+    }
+    for (; ik < n_out; ++ik) {
+      uint32_t v = br.look(tl);
+      uint16_t e = dtab[v];
+      d[ik] = (uint8_t)e;
+      br.bitpos -= e >> 8;
     }
     if (!br.exhausted_exactly()) return false;
-    off += outs[k];
   }
   return true;
 }
@@ -332,6 +411,26 @@ struct Cursor {
   const uint8_t* end;
   size_t left() const { return (size_t)(end - p); }
 };
+
+// 16-byte-stepped copy; may write up to 15 bytes past d+n (caller
+// guarantees slack). Source must not overlap [d, d+n+15].
+inline void wildcopy16(uint8_t* d, const uint8_t* s, size_t n) {
+  do {
+    std::memcpy(d, s, 16);
+    d += 16;
+    s += 16;
+  } while (n > 16 && (n -= 16));
+}
+
+// 8-byte-stepped overlap-tolerant match copy for offsets >= 8; may
+// write up to 7 bytes past d+n (caller guarantees slack).
+inline void matchcopy8(uint8_t* d, const uint8_t* s, size_t n) {
+  do {
+    std::memcpy(d, s, 8);
+    d += 8;
+    s += 8;
+  } while (n > 8 && (n -= 8));
+}
 
 // read one length extension from the literal cursor
 inline bool read_ext(Cursor& lit, uint32_t base, uint32_t* out) {
@@ -358,20 +457,28 @@ int64_t decode_block_lz4(Cursor flags, Cursor lit, uint8_t* dst, size_t dpos,
     uint32_t ll = token & 15;
     if (ll == 15 && !read_ext(lit, 15, &ll)) return -2;
     if (lit.left() < (size_t)ll + 2 || dpos + ll > dcap) return -2;
-    std::memcpy(dst + dpos, lit.p, ll);
-    lit.p += ll;
-    dpos += ll;
+    if (ll) {
+      if (dpos + ll + 16 <= dcap && lit.left() >= (size_t)ll + 18)
+        wildcopy16(dst + dpos, lit.p, ll);
+      else
+        std::memcpy(dst + dpos, lit.p, ll);
+      lit.p += ll;
+      dpos += ll;
+    }
     uint32_t off = rd16(lit.p);
     lit.p += 2;
     uint32_t ml = token >> 4;
     if (ml == 15 && !read_ext(lit, 15, &ml)) return -2;
     ml += 4;
     if (off == 0 || dpos < window_base + off || dpos + ml > dcap) return -2;
-    // overlap-correct byte copy (offsets >= 8 in valid streams, but stay safe)
     const uint8_t* s = dst + dpos - off;
     uint8_t* d = dst + dpos;
-    if (off >= ml) std::memcpy(d, s, ml);
-    else for (uint32_t i = 0; i < ml; ++i) d[i] = s[i];
+    if (off >= 8 && dpos + ml + 8 <= dcap)
+      matchcopy8(d, s, ml);            // overlap-tolerant at off >= 8
+    else if (off >= ml)
+      std::memcpy(d, s, ml);
+    else
+      for (uint32_t i = 0; i < ml; ++i) d[i] = s[i];
     dpos += ml;
   }
   size_t tail = lit.left();
@@ -391,9 +498,14 @@ int64_t decode_block_liz(Cursor flags, Cursor lit, Cursor off16, Cursor off24,
       ll = token & 7;
       if (ll == 7 && !read_ext(lit, 7, &ll)) return -2;
       if (lit.left() < ll || dpos + ll > dcap) return -2;
-      std::memcpy(dst + dpos, lit.p, ll);
-      lit.p += ll;
-      dpos += ll;
+      if (ll) {
+        if (dpos + ll + 16 <= dcap && lit.left() >= (size_t)ll + 16)
+          wildcopy16(dst + dpos, lit.p, ll);
+        else
+          std::memcpy(dst + dpos, lit.p, ll);
+        lit.p += ll;
+        dpos += ll;
+      }
       if (token < 128) {  // new 16-bit offset
         if (off16.left() < 2) return -2;
         last_off = rd16(off16.p);
@@ -420,8 +532,12 @@ int64_t decode_block_liz(Cursor flags, Cursor lit, Cursor off16, Cursor off24,
     if (dpos < window_base + (size_t)last_off || dpos + ml > dcap) return -2;
     const uint8_t* s = dst + dpos - last_off;
     uint8_t* d = dst + dpos;
-    if ((uint64_t)last_off >= ml) std::memcpy(d, s, ml);
-    else for (uint32_t i = 0; i < ml; ++i) d[i] = s[i];
+    if (last_off >= 8 && dpos + ml + 8 <= dcap)
+      matchcopy8(d, s, ml);            // overlap-tolerant at off >= 8
+    else if ((uint64_t)last_off >= ml)
+      std::memcpy(d, s, ml);
+    else
+      for (uint32_t i = 0; i < ml; ++i) d[i] = s[i];
     dpos += ml;
   }
   size_t tail = lit.left();
