@@ -324,6 +324,25 @@ bool huf_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t dst_size)
   uint16_t dtab[1 << 12];
   for (uint32_t v = 0; v < (1u << tl); ++v)
     dtab[v] = (uint16_t)(ht.sym[v] | (ht.bits[v] << 8));
+  // double-symbol table (huf_decompress.c X4 idea): when the second
+  // code fits in the remaining tl-nb1 bits, one lookup emits 2 symbols.
+  // v's HIGH bits hold the first code; the second slot is v's low
+  // tl-nb1 bits shifted up (any fill of its own low bits stays inside
+  // one code range since 2^(tl-nb2) >= 2^nb1).
+  // entry: sym1 | sym2<<8 | nbits<<16 | (nsyms-1)<<21
+  uint32_t dtab2[1 << 12];
+  for (uint32_t v = 0; v < (1u << tl); ++v) {
+    uint32_t nb1 = ht.bits[v];
+    uint32_t e = ht.sym[v] | (nb1 << 16);
+    if (nb1 > 0 && nb1 < (uint32_t)tl) {
+      uint32_t v2 = (v << nb1) & ((1u << tl) - 1);
+      uint32_t nb2 = ht.bits[v2];
+      if (nb2 > 0 && nb1 + nb2 <= (uint32_t)tl)
+        e = ht.sym[v] | (ht.sym[v2] << 8) | ((nb1 + nb2) << 16) |
+            (1u << 21);
+    }
+    dtab2[v] = e;
+  }
   // with a 64-bit container reloaded to end at the highest needed byte,
   // accbase >= bitpos-63 and each peek needs lo = bitpos-tl >= accbase:
   // 4 symbols per reload are safe for tl <= 11, 3 for tl = 12
@@ -336,11 +355,16 @@ bool huf_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t dst_size)
   for (int k = 0; k < 4; ++k)
     if (brs[k]->bad) return false;
   // lockstep across the 4 independent streams (4 dependency chains in
-  // flight -- the per-symbol bitpos->shift->load chain is the bound)
-  size_t i = 0;
-  size_t n_min = outs[3];
-  while (i + (size_t)spr <= n_min && br0.bitpos >= 64 &&
-         br1.bitpos >= 64 && br2.bitpos >= 64 && br3.bitpos >= 64) {
+  // flight -- the per-symbol bitpos->shift->load chain is the bound);
+  // each lookup consumes <= tl bits and emits 1-2 symbols (sym2 is
+  // written unconditionally and overwritten when nsyms == 1)
+  size_t os[4] = {0, 0, 0, 0};
+  while (os[0] + 2 * (size_t)spr <= outs[0] &&
+         os[1] + 2 * (size_t)spr <= outs[1] &&
+         os[2] + 2 * (size_t)spr <= outs[2] &&
+         os[3] + 2 * (size_t)spr <= outs[3] &&
+         br0.bitpos >= 64 && br1.bitpos >= 64 &&
+         br2.bitpos >= 64 && br3.bitpos >= 64) {
     uint64_t a0, a1, a2, a3;
     int64_t b0 = ((br0.bitpos - 1) >> 3) - 7;
     int64_t b1 = ((br1.bitpos - 1) >> 3) - 7;
@@ -354,46 +378,39 @@ bool huf_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t dst_size)
     int64_t p1 = br1.bitpos - (b1 << 3) - tl;
     int64_t p2 = br2.bitpos - (b2 << 3) - tl;
     int64_t p3 = br3.bitpos - (b3 << 3) - tl;
+    uint8_t* d0 = ds[0] + os[0];
+    uint8_t* d1 = ds[1] + os[1];
+    uint8_t* d2 = ds[2] + os[2];
+    uint8_t* d3 = ds[3] + os[3];
     for (int j = 0; j < spr; ++j) {
-      uint16_t e0 = dtab[(uint32_t)(a0 >> p0) & mask];
-      uint16_t e1 = dtab[(uint32_t)(a1 >> p1) & mask];
-      uint16_t e2 = dtab[(uint32_t)(a2 >> p2) & mask];
-      uint16_t e3 = dtab[(uint32_t)(a3 >> p3) & mask];
-      ds[0][i + j] = (uint8_t)e0;
-      ds[1][i + j] = (uint8_t)e1;
-      ds[2][i + j] = (uint8_t)e2;
-      ds[3][i + j] = (uint8_t)e3;
-      p0 -= e0 >> 8;
-      p1 -= e1 >> 8;
-      p2 -= e2 >> 8;
-      p3 -= e3 >> 8;
+      uint32_t e0 = dtab2[(uint32_t)(a0 >> p0) & mask];
+      uint32_t e1 = dtab2[(uint32_t)(a1 >> p1) & mask];
+      uint32_t e2 = dtab2[(uint32_t)(a2 >> p2) & mask];
+      uint32_t e3 = dtab2[(uint32_t)(a3 >> p3) & mask];
+      d0[0] = (uint8_t)e0; d0[1] = (uint8_t)(e0 >> 8);
+      d1[0] = (uint8_t)e1; d1[1] = (uint8_t)(e1 >> 8);
+      d2[0] = (uint8_t)e2; d2[1] = (uint8_t)(e2 >> 8);
+      d3[0] = (uint8_t)e3; d3[1] = (uint8_t)(e3 >> 8);
+      d0 += 1 + (e0 >> 21); p0 -= (e0 >> 16) & 31;
+      d1 += 1 + (e1 >> 21); p1 -= (e1 >> 16) & 31;
+      d2 += 1 + (e2 >> 21); p2 -= (e2 >> 16) & 31;
+      d3 += 1 + (e3 >> 21); p3 -= (e3 >> 16) & 31;
     }
     br0.bitpos = p0 + (b0 << 3) + tl;
     br1.bitpos = p1 + (b1 << 3) + tl;
     br2.bitpos = p2 + (b2 << 3) + tl;
     br3.bitpos = p3 + (b3 << 3) + tl;
-    i += spr;
+    os[0] = (size_t)(d0 - ds[0]);
+    os[1] = (size_t)(d1 - ds[1]);
+    os[2] = (size_t)(d2 - ds[2]);
+    os[3] = (size_t)(d3 - ds[3]);
   }
   // per-stream tails (and any stream the lockstep loop never entered)
   for (int k = 0; k < 4; ++k) {
     BitReader& br = *brs[k];
     uint8_t* d = ds[k];
     size_t n_out = outs[k];
-    size_t ik = i < n_out ? i : n_out;
-    while (ik + (size_t)spr <= n_out && br.bitpos >= 64) {
-      int64_t pb = ((br.bitpos - 1) >> 3) - 7;
-      uint64_t acc;
-      std::memcpy(&acc, br.base + pb, 8);
-      int64_t accbase = pb << 3;
-      for (int j = 0; j < spr; ++j) {
-        uint32_t v = (uint32_t)(acc >> (br.bitpos - tl - accbase)) & mask;
-        uint16_t e = dtab[v];
-        d[ik + j] = (uint8_t)e;
-        br.bitpos -= e >> 8;
-      }
-      ik += spr;
-    }
-    for (; ik < n_out; ++ik) {
+    for (size_t ik = os[k]; ik < n_out; ++ik) {
       uint32_t v = br.look(tl);
       uint16_t e = dtab[v];
       d[ik] = (uint8_t)e;
