@@ -490,7 +490,9 @@ int64_t decode_block_lz4(Cursor flags, Cursor lit, uint8_t* dst, size_t dpos,
     if (off == 0 || dpos < window_base + off || dpos + ml > dcap) return -2;
     const uint8_t* s = dst + dpos - off;
     uint8_t* d = dst + dpos;
-    if (off >= 8 && dpos + ml + 8 <= dcap)
+    if (off >= 16 && dpos + ml + 16 <= dcap)
+      wildcopy16(d, s, ml);            // overlap-tolerant at off >= 16
+    else if (off >= 8 && dpos + ml + 8 <= dcap)
       matchcopy8(d, s, ml);            // overlap-tolerant at off >= 8
     else if (off >= ml)
       std::memcpy(d, s, ml);
@@ -549,7 +551,9 @@ int64_t decode_block_liz(Cursor flags, Cursor lit, Cursor off16, Cursor off24,
     if (dpos < window_base + (size_t)last_off || dpos + ml > dcap) return -2;
     const uint8_t* s = dst + dpos - last_off;
     uint8_t* d = dst + dpos;
-    if (last_off >= 8 && dpos + ml + 8 <= dcap)
+    if (last_off >= 16 && dpos + ml + 16 <= dcap)
+      wildcopy16(d, s, ml);            // overlap-tolerant at off >= 16
+    else if (last_off >= 8 && dpos + ml + 8 <= dcap)
       matchcopy8(d, s, ml);            // overlap-tolerant at off >= 8
     else if ((uint64_t)last_off >= ml)
       std::memcpy(d, s, ml);
