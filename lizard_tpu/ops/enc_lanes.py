@@ -337,7 +337,7 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
         ins = [(h, 0)]
         if k5:
             ins.append((h5v, 1 + (i & (k5 - 1))))
-        l256 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) * 256 + 1
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         tt64 = jax.lax.broadcasted_iota(jnp.int32, (trows, 128), 0)
         for h_t, tix in ins:
@@ -350,12 +350,20 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
                 hb = jnp.broadcast_to(hins[b:b + 1, :], (trows, 128))
                 rowOH = (hb >> 7 == tt64).astype(jnp.float32)
                 hc = jnp.broadcast_to(ht[:, b:b + 1], (128, 128))
-                X = jnp.where((hc & 127) == cc, l256, 0).astype(jnp.float32)
-                C = jax.lax.dot_general(
-                    rowOH, X, (((1,), (0,)), ((), ())),
+                # The MXU rounds f32 operands through bf16 (only integers
+                # <= 256 survive exactly), so the count and the lane index
+                # must ride SEPARATE matmuls with small-int planes; a
+                # packed l*256+1 plane decodes wrong on hardware.
+                match = (hc & 127) == cc
+                X1 = match.astype(jnp.float32)
+                Xl = jnp.where(match, lrow, 0).astype(jnp.float32)
+                cnt = jax.lax.dot_general(
+                    rowOH, X1, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.int32)
-                cnt = C & 255
-                newv = i * SEG + (C >> 8) + 1
+                Cl = jax.lax.dot_general(
+                    rowOH, Xl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                newv = i * SEG + Cl + 1
                 cs[b * trows:(b + 1) * trows] = jnp.where(cnt == 1, newv, 0)
 
             # apply: interleaved tile k rows = (tix*ttiles + k, b=0..7)
@@ -814,15 +822,24 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                         y0 = X0 - db
                         y0c = jnp.maximum(y0, 0)
                         t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
-                        rA = w32[pl.ds(g * WR + t0s * 8 + b, 1)]
-                        rB = w32[pl.ds(g * WR
-                                       + jnp.minimum(t0s + 1, cfg.wtiles)
-                                       * 8 + b, 1)]
+                        # Mosaic's dynamic_gather only lowers on full
+                        # (8,128) tiles (a (1,128) gather fails shape
+                        # checks) -> broadcast the row reads to 8
+                        # sublanes before gathering
+                        rA = jnp.broadcast_to(
+                            w32[pl.ds(g * WR + t0s * 8 + b, 1)],
+                            (8, 128))
+                        rB = jnp.broadcast_to(
+                            w32[pl.ds(g * WR
+                                      + jnp.minimum(t0s + 1, cfg.wtiles)
+                                      * 8 + b, 1)], (8, 128))
                         # rel = word(y0+l) - t0s*128, exact for lanes
                         # with y0+l >= 0 (the only ones the masks read);
                         # negative-y lanes floor below 0 -> garbage
-                        rel = (y0c >> 2) - t0s * 128 + \
-                            ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4
+                        rel = jnp.broadcast_to(
+                            (y0c >> 2) - t0s * 128 +
+                            ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4,
+                            (8, 128))
                         gA = _take(rA, jnp.clip(rel, 0, 127))
                         gB = _take(rB, jnp.clip(rel - 128, 0, 127))
                         sl = jnp.where(rel < 128, gA, gB)
@@ -830,10 +847,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                         gA2 = _take(rA, jnp.clip(relh, 0, 127))
                         gB2 = _take(rB, jnp.clip(relh - 128, 0, 127))
                         sh_ = jnp.where(relh < 128, gA2, gB2)
-                        lo = jnp.where(sub == b,
-                                       jnp.broadcast_to(sl, (8, 128)), lo)
-                        hi = jnp.where(sub == b,
-                                       jnp.broadcast_to(sh_, (8, 128)), hi)
+                        lo = jnp.where(sub == b, sl, lo)
+                        hi = jnp.where(sub == b, sh_, hi)
                 shs = (y & 3) << 3
                 w8s = (_shr(lo.astype(jnp.uint32), shs)
                        | jnp.where(shs == 0, jnp.uint32(0),
@@ -879,7 +894,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     xor = jnp.where(tk, xor_m, xor)
                     xi = jnp.where(tk, xi_m, xi)
                     ml = jnp.where(tk, ml_m, ml)
-                    survived = jnp.where(tk, surv_m, survived)
+                    survived = (tk & surv_m) | (~tk & survived)
                     v = jnp.where(tk, v_m, v)
 
             # lazy look-ahead (the fast parser's retry,
@@ -917,7 +932,7 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     xor2 = jnp.where(tk, xor_m, xor2)
                     xi2 = jnp.where(tk, xi_m, xi2)
                     ml2 = jnp.where(tk, ml_m, ml2)
-                    surv2 = jnp.where(tk, surv_m, surv2)
+                    surv2 = (tk & surv_m) | (~tk & surv2)
                     v2 = jnp.where(tk, v_m, v2)
                 take2 = has2 & (v2 > vcur + (rel2 - rel0))
                 s_tok = jnp.where(take2, s2, s_tok)
@@ -926,7 +941,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                 xor = jnp.where(take2, xor2, xor)
                 xi = jnp.where(take2, xi2, xi)
                 ml = jnp.where(take2, ml2, ml)
-                survived = jnp.where(take2, surv2, survived)
+                survived = ((take2 & surv2)
+                            | (~take2 & survived))
                 vcur = jnp.where(take2, v2, vcur)
 
             found = active & ~survived
