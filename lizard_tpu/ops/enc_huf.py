@@ -106,8 +106,10 @@ def _henc_kernel(stiles, otiles, meta, syms_hbm, tab_hbm, out_hbm,
         # starts in the next word
         comp = (sh + nb >= 32) & (nb > 0)
         nw0 = jnp.where(lanes < 127, pltpu.roll(w0, 127, 1), w0)
-        last = jnp.where(lanes < 127, (nw0 != w0) & alive,
-                         comp & alive)
+        # bitwise select: a bool-valued jnp.where lowers to an i8->i1
+        # truncation Mosaic rejects on hardware
+        l127 = lanes < 127
+        last = ((l127 & (nw0 != w0)) | (~l127 & comp)) & alive
 
         rank = last.astype(jnp.int32)
         for k in (1, 2, 4, 8, 16, 32, 64):
