@@ -34,6 +34,7 @@ lane_huf.py). Cites: lib/entropy/huf_decompress.c:111-198 (X1 table +
 """
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -41,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_ABL = os.environ.get("HUF_ABL", "")   # perf ablation hooks
 
 TL = 11                    # uniform lookup width (tables expanded on host)
 NPAR = 4                   # backing row-parity tiles per lane group
@@ -96,7 +99,7 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
 
         # ---- per-super backing refills: vector-decided, scalar-issued
         new_fills = []
-        for i in range(il):
+        for i in range(il if _ABL != "skiprefill" else 0):
             pos, fill = poss[i], fills[i]
             rlen_m1 = vm(i, M_RLEN)
             nrows_v = (rlen_m1 + 512) >> 9
@@ -253,10 +256,14 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                 new_poss.append(pos)
             return tuple(new_poss)
 
-        poss = jax.lax.fori_loop(0, CPS, chunk_body, tuple(poss))
+        if _ABL != "skipsym":
+            poss = jax.lax.fori_loop(0, CPS, chunk_body, tuple(poss))
+
+        if _ABL == "skiprefill":
+            new_fills.extend(fills)
 
         # ---- flush output rows: start all live DMAs, then drain ----
-        for i in range(il):
+        for i in range(il if _ABL != "skipflush" else 0):
             def start_one(sl, k, i=i):
                 g = sl >> 3
                 r = sl & 7

@@ -55,6 +55,10 @@ import os
 from dataclasses import dataclass
 
 _ABL = os.environ.get("LANE_ABL", "")  # temporary ablation hooks (perf work)
+_FIXU = int(os.environ.get("LANE_FIXU", "2"))  # unrolled fixup steps/pass
+_JMPU = int(os.environ.get("LANE_JMPU", "3"))  # unrolled jump steps
+_NEAR = int(os.environ.get("LANE_NEAR", "4"))  # always-walked ring tiles
+_WUNR = int(os.environ.get("LANE_WUNR", "4"))  # walk chains per fori step
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +137,18 @@ def _gchain(win, gbase, word_idx, ntiles):
         row0 = (gbase + k) * 8
         g = jnp.take_along_axis(win[row0:row0 + 8, :], sub, axis=1)
         r = jnp.where(t == k, g, r)
+    return r
+
+
+def _gchain_a512(win, gbase, tile_idx, ntiles):
+    """512-aligned variant of _gchain: element (s, l) reads
+    win[(gbase + tile_idx[s, l]) * 8 + s, l]. Used by the front rebuilds,
+    whose bases are 512-aligned so the lane index is the identity — a pure
+    per-slot tile select, no take_along_axis."""
+    r = jnp.zeros((8, 128), jnp.int32)
+    for k in range(ntiles):
+        row0 = (gbase + k) * 8
+        r = jnp.where(tile_idx == k, win[row0:row0 + 8, :], r)
     return r
 
 
@@ -445,30 +461,26 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             cur_src = stt[5]
             fb_p = lit_p & ~511
             for j in range(NT_P if _ABL != "skipfronts" else 0):
-                widx = ((((fb_p & _MASK_B) >> 2) + j * 128 + lanes)
-                        & (NT_B * 128 - 1))
+                tp_ = (((fb_p & _MASK_B) >> 9) + j) & (NT_B - 1)
                 pfront[(i * NT_P + j) * 8:(i * NT_P + j) * 8 + 8, :] = \
-                    _gchain(pback, i * NT_B, widx, NT_B)
+                    _gchain_a512(pback, i * NT_B, tp_, NT_B)
             fb_c = (cur_src & POS_MASK) & ~511
             fill_c = bounce[i * BSTRIDE + BFILL + 8:
                             i * BSTRIDE + BFILL + 16, :]
             cov_c = (fb_c + NT_C * 512) <= fill_c
             for j in range(NT_C if _ABL != "skipfronts" else 0):
-                wc = ((((fb_c & _MASK_CB) >> 2) + j * 128 + lanes)
-                      & (NT_CB * 128 - 1))
-                vc = _gchain(cback, i * NT_CB, wc, NT_CB)
-                wp = ((((fb_c & _MASK_B) >> 2) + j * 128 + lanes)
-                      & (NT_B * 128 - 1))
-                vp = _gchain(pback, i * NT_B, wp, NT_B)
+                tc_ = (((fb_c & _MASK_CB) >> 9) + j) & (NT_CB - 1)
+                vc = _gchain_a512(cback, i * NT_CB, tc_, NT_CB)
+                tcp = (((fb_c & _MASK_B) >> 9) + j) & (NT_B - 1)
+                vp = _gchain_a512(pback, i * NT_B, tcp, NT_B)
                 cfront[(i * NT_C + j) * 8:(i * NT_C + j) * 8 + 8, :] = \
                     jnp.where(cov_c, vc, vp)
             flag_p = stt[7]
             fb_f = flag_p & ~511
             for j in range(NT_FF if _ABL != "skipfronts" else 0):
-                w = ((((fb_f & _MASK_F) >> 2) + j * 128 + lanes)
-                     & (NT_F * 128 - 1))
+                tf_ = (((fb_f & _MASK_F) >> 9) + j) & (NT_F - 1)
                 ffront[(i * NT_FF + j) * 8:(i * NT_FF + j) * 8 + 8, :] = \
-                    _gchain(fback, i * NT_F, w, NT_F)
+                    _gchain_a512(fback, i * NT_F, tf_, NT_F)
             fill_p = bounce[i * BSTRIDE + BFILL:i * BSTRIDE + BFILL + 8, :]
             covered = (fb_p + NT_P * 512) <= fill_p
             if not liz:
@@ -499,6 +511,17 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     min_enc = jnp.minimum(min_enc, e)
             K = jnp.minimum((-jnp.min(min_enc) + 511) >> 9, rtiles - 1)
 
+            # hoisted per-element walk operands: target unwrapped tile id
+            # (sentinel for non-ring bytes — never matches any t_un) and
+            # the in-tile word gather index
+            tts, gis = [], []
+            for i in range(il):
+                for j in range(NP):
+                    e = all_encs[i][j]
+                    pos = band_rp + e     # <0 allowed: >> floors
+                    tts.append(jnp.where(e < 0, pos >> 9, 1 << 29))
+                    gis.append((pos >> 2) & 127)
+
             def chain(k, rws):
                 t_un = rt_h - k               # unwrapped tile id (compare)
                 t_real = jnp.where(t_un < 0, t_un + rtiles, t_un)
@@ -507,16 +530,13 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 for i in range(il):
                     tile = ring[pl.ds((i * rtiles + t_real) * 8, 8), :]
                     for j in range(NP):
-                        e = all_encs[i][j]
-                        pos = band_rp + e     # <0 allowed: >> floors
-                        sel = (e < 0) & ((pos >> 9) == t_un)
-                        g = jnp.take_along_axis(tile, (pos >> 2) & 127,
-                                                axis=1)
-                        out.append(jnp.where(sel, g, rws[i * NP + j]))
+                        q = i * NP + j
+                        g = jnp.take_along_axis(tile, gis[q], axis=1)
+                        out.append(jnp.where(tts[q] == t_un, g, rws[q]))
                 return tuple(out)
 
             init = tuple(z for _ in range(il * NP))
-            NEAR = 4                    # tiles always walked (offsets are
+            NEAR = _NEAR                # tiles always walked (offsets are
             if _ABL == "k0":            # mostly < 2 KB); far reaches take
                 rws = init              # the dynamic loop, usually 0 iters
             elif _ABL == "kstatic":
@@ -524,16 +544,18 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 for k in range(1, rtiles):
                     rws = chain(k, rws)
             else:
+                UNR = _WUNR
                 rws = init
                 for k in range(1, NEAR + 1):
                     rws = chain(k, rws)
                 Kfar = jnp.maximum(K - NEAR, 0)
 
-                def chain4(q, rws):
-                    for dk in range(4):
-                        rws = chain(NEAR + 1 + q * 4 + dk, rws)
+                def chainU(q, rws):
+                    for dk in range(UNR):
+                        rws = chain(NEAR + 1 + q * UNR + dk, rws)
                     return rws
-                rws = jax.lax.fori_loop(0, (Kfar + 3) >> 2, chain4, rws)
+                rws = jax.lax.fori_loop(0, (Kfar + UNR - 1) // UNR, chainU,
+                                        rws)
 
             tiles = []
             for i in range(il):
@@ -1054,11 +1076,20 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                         i, B, ff[i * NFIX:(i + 1) * NFIX], invs[i]))
                 return tuple(out)
 
-            fflat = []
+            fflat = tuple()
             for f in fixes:
-                fflat.extend(f)
+                fflat = fflat + tuple(f)
             if _ABL != "skipfix":
-                fflat = jax.lax.while_loop(f_cond, f_body, tuple(fflat))
+                # pay the first _FIXU fixup steps as masked straight-line
+                # vector work (f_body is a no-op on groups with nothing
+                # pending); the while_loop — whose condition is a scalar
+                # sync every iteration — only handles the tail. (A fully
+                # bounded fixup that punts the tail to the continuation
+                # pass was measured SLOWER: full-pass retries cost more
+                # than the narrow while iterations they replace.)
+                for _ in range(_FIXU):
+                    fflat = f_body(fflat)
+                fflat = jax.lax.while_loop(f_cond, f_body, fflat)
 
             out = []
             for i in range(il):
@@ -1136,7 +1167,12 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             for encs in all_encs:
                 es.extend(encs)
             if _ABL != "skipjump":
-                es = jax.lax.while_loop(j_cond, j_body, tuple(es))
+                # _JMPU unconditional halving steps (masked no-ops once
+                # resolved) before the synced while for deep-chain tails
+                es = tuple(es)
+                for _ in range(_JMPU):
+                    es = j_body(es)
+                es = jax.lax.while_loop(j_cond, j_body, es)
             all_encs = [[es[i * NP + j] for j in range(NP)]
                         for i in range(il)]
 
