@@ -116,35 +116,42 @@ def bench_decode_level(data, level, seconds):
 
     t_huf_best = 0.0
     if pend:
+        # One-shot AOT-timed entropy stage: the axon runtime serves
+        # REPEAT executions of an executable from a cache (first call
+        # real, later calls ~0.1 ms), so the only honest protocol is to
+        # AOT-compile and time exactly the FIRST execution. Output is
+        # verified against the host entropy decoder.
         from lizard_tpu.ops.huf128 import (prepare_huf128, _huf128_call,
-                                           _translate_call)
-        cap = 8 * 128 // 4          # blobs per kernel batch (4 streams ea)
-        batches = []
+                                           _translate_call, pick_groups)
+        from lizard_tpu.ops import split as split_mod
+        cap = 4096                  # memory bound; cells chain streams
+        pend = sorted(pend, key=lambda t: -t[1])   # length-homogeneous
+        t_huf_best = 0.0
         for b0 in range(0, len(pend), cap):
-            hb = prepare_huf128(pend[b0:b0 + cap], groups=8)
-            batches.append((hb, tuple(map(jnp.asarray,
-                                          (hb.meta_s, hb.vmeta, hb.pool,
-                                           hb.luts, hb.tmeta)))))
-
-        def run_huf():
-            outs = []
-            for hb, (hm, hv, hp, hl, ht) in batches:
-                r = _huf128_call(hm, hv, hp, T=hb.T, groups=8, il=8,
-                                 out_rows=hb.out_rows)
-                outs.append(_translate_call(ht, r, hl))
-            return outs
-
-        for o in run_huf():
-            o.block_until_ready()
-        t_huf_best = float("inf")
-        tt = 0.0
-        while tt < seconds:
+            sub = pend[b0:b0 + cap]
+            g = pick_groups(4 * len(sub))
+            hb = prepare_huf128(sub, groups=g)
+            hm, hv, hp, hl, ht = map(jnp.asarray,
+                                     (hb.meta_s, hb.vmeta, hb.pool,
+                                      hb.luts, hb.tmeta))
+            c1 = _huf128_call.lower(hm, hv, hp, T=hb.T, groups=g, il=g,
+                                    out_rows=hb.out_rows).compile()
+            c2 = _translate_call.lower(
+                ht, jnp.zeros((hb.out_rows, 128), jnp.int32),
+                hl).compile()
             t0 = time.perf_counter()
-            for o in run_huf():
-                o.block_until_ready()
-            dt = time.perf_counter() - t0
-            t_huf_best = min(t_huf_best, dt)
-            tt += dt
+            r = c1(hm, hv, hp)
+            o = c2(ht, r, hl)
+            o.block_until_ready()
+            t_huf_best += time.perf_counter() - t0
+            flat = np.asarray(o).astype(np.int32).tobytes()
+            for (blob, orig), pb in zip(sub, hb.tasks):
+                if isinstance(pb, tuple):
+                    continue
+                got = b"".join(flat[r0 * 512:r0 * 512 + n]
+                               for _, r0, n in sorted(pb))
+                assert got == split_mod.huf_decompress(blob, orig), \
+                    "huf kernel output mismatch"
     lane = prepare_lane_batch(batch)
     T = lane.C * SUPERS_PER_BLOCK
     rtiles = LIZ_RING_TILES if lane.family else RING_TILES

@@ -47,6 +47,11 @@ _ABL = os.environ.get("HUF_ABL", "")   # perf ablation hooks
 
 TL = 11                    # uniform lookup width (tables expanded on host)
 NPAR = 4                   # backing row-parity tiles per lane group
+RF = 1                     # supers between backing refills (RF=2 with
+                           # NPAR=8 measured SLOWER: the window rebuild
+                           # pays 16*NPAR gathers per chunk, which
+                           # doubles and outweighs the halved scalar
+                           # refill loop)
 CHUNK = 16                 # symbols per window rebuild
 CPS = 32                   # chunks per super (one 512 B output row)
 NMETA = 15                 # vector-meta planes per group
@@ -70,12 +75,26 @@ def _shr(x, n):
     return jax.lax.shift_right_logical(x, n.astype(jnp.uint32))
 
 
-def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
-                   vmeta, back, oacc, trk, sems):
-    """meta_s (rows,128) SMEM, flat index cell*4+f: f=0 pool_row0,
-    1 n_rows, 2 out_row0, 3 n_supers. vmeta (groups*NMETA*8, 128) staged whole into VMEM.
-    back: parity tiles (il*16*NPAR*8, 128); oacc: output rows
-    (il*16*8, 128); trk SMEM (il*128, 1): highest pool row DMA'd."""
+def _huf128_kernel(T8, groups, il, meta_hbm, vmeta_hbm, pool_hbm, out_hbm,
+                   vmeta, msblk, back, oacc, oacc8, trk, sems):
+    """CELL-CHAINED layout: each of the groups*128 cells decodes a chain
+    of streams back to back, cut into 8-super (4 KB output) EPISODES; all
+    stream transitions happen at block boundaries, where one DMA stages
+    the block's metadata for every cell (so per-cell transition logic is
+    a vector select, not scalar control flow). This removes the dominant
+    cost of the per-batch layout — T = max(stream supers) ran every cell
+    for the longest stream's duration (measured 34% occupancy).
+
+    meta_hbm (T8*groups*8, 128): per block/cell scalars, row
+    (blk*groups+G)*8+f, lane = cell: f0 pool_row0, f1 n_rows,
+    f2 out_row0 for this block (-1 = no output), f3 fresh (1 = a new
+    stream starts here: pos/fill/trk reset from vmeta).
+    vmeta_hbm (T8*groups*NMETA*8, 128): per-block vector planes; M_POS
+    >= 0 only on fresh blocks (-1 = carry pos), M_OLEN = remaining
+    output bytes of the stream at this block's start.
+    back: parity tiles (il*16*NPAR*8, 128); oacc: 8 super-snapshots of
+    output rows (8*il*16*8, 128); oacc8: stream-major flush staging
+    (il*16*8*8, 128); trk SMEM (il*128, 1): highest pool row DMA'd."""
     gi = pl.program_id(0)
     g0 = gi * il
     lanes = _lanes8()
@@ -83,23 +102,19 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
     R = pool_hbm.shape[0]
     shmt = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 4
 
-    # stage this instance's vmeta planes (one DMA; reused all supers)
-    cp = pltpu.make_async_copy(
-        vmeta_hbm.at[pl.ds(g0 * NMETA * 8, il * NMETA * 8)],
-        vmeta, sems.at[2])
-    cp.start()
-    cp.wait()
-
     def vm(i, k):
         return vmeta[(i * NMETA + k) * 8:(i * NMETA + k) * 8 + 8, :]
 
-    def super_body(sup, carry):
+    def one_super(kq, carry):
+        """One 512 B-per-stream super: refill, symbol chunks, pack into
+        the kq-th (static) snapshot of oacc. Flushing happens once per
+        8-super block (see block_body)."""
         poss = carry[:il]
         fills = carry[il:]
 
         # ---- per-super backing refills: vector-decided, scalar-issued
         new_fills = []
-        for i in range(il if _ABL != "skiprefill" else 0):
+        for i in range(il):
             pos, fill = poss[i], fills[i]
             rlen_m1 = vm(i, M_RLEN)
             nrows_v = (rlen_m1 + 512) >> 9
@@ -117,18 +132,18 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
             def per_stream(sl, k, i=i, pks=pks):
                 g = sl >> 3
                 r = sl & 7
-                gsl = (((g0 + i) * 16 + g) * 8 + r) * 4
                 dq = 0
                 for gg in range(16):
-                    dq = jnp.where(g == gg, (pks[gg] >> (r * 4)) & 15, dq)
+                    dq = jnp.where(g == gg,
+                                   (pks[gg] >> (r * 4)) & 15, dq)
                 f0 = trk[sl + i * 128, 0]
+                row0 = msblk[i * 8 + 0, sl]
 
                 def body(q, kk):
                     p = q & (NPAR - 1)
                     cp = pltpu.make_async_copy(
                         pool_hbm.at[pl.ds(jnp.clip(
-                            meta_s[gsl >> 7, gsl & 127] + q, 0, R - 1),
-                            1)],
+                            row0 + q, 0, R - 1), 1)],
                         back.at[pl.ds(
                             ((i * 16 + g) * NPAR + p) * 8 + r, 1)],
                         sems.at[0])
@@ -137,7 +152,8 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                 k = jax.lax.fori_loop(f0 + 1, f0 + 1 + dq, body, k)
                 trk[sl + i * 128, 0] = f0 + dq
                 return k
-            n_dma = jax.lax.fori_loop(0, 128, per_stream, jnp.int32(0))
+            n_dma = jax.lax.fori_loop(0, 128, per_stream,
+                                      jnp.int32(0))
 
             def wait_one(k, x):
                 pltpu.make_async_copy(
@@ -158,7 +174,8 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                 bnds_i = [vm(i, M_BND + k) for k in range(10)]
                 pa_i = vm(i, M_PA)
                 pb_i = vm(i, M_PB)
-                sym0 = sup * (CPS * CHUNK) + c * CHUNK
+                sym0 = kq * (CPS * CHUNK) + c * CHUNK   # block-local;
+                # M_OLEN is the stream's REMAINING bytes at block start
 
                 # ---- window rebuild: 8 words per stream in own lanes --
                 ob_hi = jnp.maximum((pos - 1) >> 3, 0)
@@ -250,7 +267,7 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
                 for g in range(16):
                     val = jnp.take_along_axis(wall, (lanes & 3) + g * 8,
                                               axis=1)
-                    row0 = (i * 16 + g) * 8
+                    row0 = (kq * il * 16 + i * 16 + g) * 8
                     cur = oacc[row0:row0 + 8, :]
                     oacc[row0:row0 + 8, :] = jnp.where(cmask, val, cur)
                 new_poss.append(pos)
@@ -261,22 +278,72 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
 
         if _ABL == "skiprefill":
             new_fills.extend(fills)
+        return tuple(poss) + tuple(new_fills)
 
-        # ---- flush output rows: start all live DMAs, then drain ----
-        for i in range(il if _ABL != "skipflush" else 0):
+    def block_body(blk, carry):
+        """Stage this block's metadata, handle stream transitions, run 8
+        supers with static in-block indices, then one contiguous 4 KB
+        flush DMA per stream."""
+        cpv = pltpu.make_async_copy(
+            vmeta_hbm.at[pl.ds((blk * groups + g0) * NMETA * 8,
+                               il * NMETA * 8)],
+            vmeta, sems.at[2])
+        cpv.start()
+        cpm = pltpu.make_async_copy(
+            meta_hbm.at[pl.ds((blk * groups + g0) * 8, il * 8)],
+            msblk, sems.at[3])
+        cpm.start()
+        cpv.wait()
+        cpm.wait()
+
+        # stream transitions: fresh cells load pos from vmeta and reset
+        # their fill/refill trackers; continuing cells carry pos across
+        # the block boundary (M_POS = -1)
+        poss = list(carry[:il])
+        fills = list(carry[il:])
+        for i in range(il):
+            vp = vm(i, M_POS)
+            fresh_v = vp >= 0
+            poss[i] = jnp.where(fresh_v, vp, poss[i])
+            fills[i] = jnp.where(fresh_v, -1, fills[i])
+
+        def rs(sl, k):
+            for i in range(il):
+                f = msblk[i * 8 + 3, sl]
+                t0 = trk[sl + i * 128, 0]
+                trk[sl + i * 128, 0] = jnp.where(f != 0, -1, t0)
+            return k
+        jax.lax.fori_loop(0, 128, rs, 0)
+
+        carry = tuple(poss) + tuple(fills)
+        for kq in range(8):
+            carry = one_super(kq, carry)
+
+        # transpose snapshots (super-major tiles, stream = sublane) into
+        # oacc8 (stream-major: 8 consecutive rows per stream) with
+        # value-level sublane slices — every load/store is tile-shaped
+        for i in range(il):
+            for g in range(16):
+                ts = [oacc[(kq * il * 16 + i * 16 + g) * 8:
+                           (kq * il * 16 + i * 16 + g) * 8 + 8, :]
+                      for kq in range(8)]
+                for r in range(8):
+                    sl8 = (((i * 16 + g) * 8) + r) * 8
+                    oacc8[sl8:sl8 + 8, :] = jnp.concatenate(
+                        [ts[kq][r:r + 1, :] for kq in range(8)], axis=0)
+
+        for i in range(il):
             def start_one(sl, k, i=i):
                 g = sl >> 3
                 r = sl & 7
-                gsl = (((g0 + i) * 16 + g) * 8 + r) * 4
-                live = sup < meta_s[(gsl + 3) >> 7, (gsl + 3) & 127]
+                dst = msblk[i * 8 + 2, sl]
+                live = dst >= 0
 
                 @pl.when(live)
                 def _():
                     cp = pltpu.make_async_copy(
-                        oacc.at[pl.ds((i * 16 + g) * 8 + r, 1)],
-                        out_hbm.at[pl.ds(
-                            meta_s[(gsl + 2) >> 7, (gsl + 2) & 127] + sup,
-                            1)],
+                        oacc8.at[pl.ds((((i * 16 + g) * 8) + r) * 8, 8)],
+                        out_hbm.at[pl.ds(jnp.maximum(dst, 0), 8)],
                         sems.at[1])
                     cp.start()
                 return k + jnp.where(live, 1, 0)
@@ -284,38 +351,43 @@ def _huf128_kernel(T, groups, il, meta_s, vmeta_hbm, pool_hbm, out_hbm,
 
             def wait_fl(k, x, i=i):
                 pltpu.make_async_copy(
-                    oacc.at[pl.ds(0, 1)], out_hbm.at[pl.ds(0, 1)],
+                    oacc8.at[pl.ds(0, 8)], out_hbm.at[pl.ds(0, 8)],
                     sems.at[1]).wait()
                 return x
             jax.lax.fori_loop(0, n_fl, wait_fl, 0)
-        return tuple(poss) + tuple(new_fills)
+        return carry
 
     def init_trk(sl, k):
         trk[sl, 0] = jnp.int32(-1)
         return k
     jax.lax.fori_loop(0, il * 128, init_trk, 0)
-    carry = tuple(vm(i, M_POS) for i in range(il)) + \
+    z8 = jnp.zeros((8, 128), jnp.int32)
+    carry = tuple(z8 for _ in range(il)) + \
         tuple(jnp.full((8, 128), -1, jnp.int32) for _ in range(il))
-    jax.lax.fori_loop(0, T, super_body, carry)
+    jax.lax.fori_loop(0, T8, block_body, carry)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "groups", "il",
                                              "out_rows", "interpret"))
 def _huf128_call(meta_s, vmeta, pool, T, groups, il, out_rows,
                  interpret=False):
+    """T is the number of 8-super BLOCKS (episodes per cell chain)."""
     kernel = functools.partial(_huf128_kernel, T, groups, il)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(groups // il,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((il * NMETA * 8, 128), jnp.int32),
+            pltpu.SMEM((il * 8, 128), jnp.int32),
             pltpu.VMEM((il * 16 * NPAR * 8, 128), jnp.int32),
-            pltpu.VMEM((il * 16 * 8, 128), jnp.int32),
+            pltpu.VMEM((8 * il * 16 * 8, 128), jnp.int32),
+            pltpu.VMEM((il * 16 * 8 * 8, 128), jnp.int32),
             pltpu.SMEM((il * 128, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
@@ -371,12 +443,12 @@ def _translate_call(meta_s, ranks, luts, interpret=False):
 
 @dataclass
 class Huf128Batch:
-    meta_s: np.ndarray       # (rows,128) i32, flat cell*4+f
-    vmeta: np.ndarray        # (groups*NMETA*8, 128) i32
+    meta_s: np.ndarray       # (T8*groups*8, 128) i32 per-block scalars
+    vmeta: np.ndarray        # (T8*groups*NMETA*8, 128) i32 per-block
     pool: np.ndarray         # (R, 128) i32 byte-reversed streams
     luts: np.ndarray         # (nblobs*8, 128) i32 sym | sym128<<8
     tmeta: np.ndarray        # (rows,128) i32 LUT id per 8-row out tile
-    T: int
+    T: int                   # episodes (8-super blocks) per cell chain
     groups: int
     out_rows: int
     tasks: list
@@ -462,14 +534,26 @@ def prepare_huf128(blobs, groups=8):
             pos_init = (len(sb) - 1) * 8 + sb[-1].bit_length() - 1
             stream_list.append((bi, si, sb[::-1], pos_init, n_out,
                                 bnds, pks, lid))
-    if len(stream_list) > n_cells:
-        raise HufError("too many huf streams for one batch; split")
+    # ---- cell-chained schedule: streams cut into 8-super EPISODES,
+    # longest-first onto least-loaded cells; every cell runs T8 episodes
+    # and all stream transitions happen at episode boundaries
+    eps = [max((s[4] + 4095) >> 12, 1) for s in stream_list]
+    order = sorted(range(len(stream_list)), key=lambda k: -eps[k])
+    import heapq
+    heap = [(0, c) for c in range(n_cells)]
+    cell_streams = [[] for _ in range(n_cells)]
+    loads = [0] * n_cells
+    for k in order:
+        load, c = heapq.heappop(heap)
+        cell_streams[c].append(k)
+        loads[c] = load + eps[k]
+        heapq.heappush(heap, (loads[c], c))
+    T8 = max(1, max(loads))
 
-    order = sorted(range(len(stream_list)),
-                   key=lambda k: -stream_list[k][4])
-
-    meta_s = np.zeros((n_cells, 4), np.int32)
-    vmeta = np.zeros((groups, NMETA, 8, 128), np.int32)
+    meta = np.zeros((T8, groups, 8, 128), np.int32)
+    meta[:, :, 2, :] = -1                    # out_row0: -1 = no output
+    vmeta = np.zeros((T8, groups, NMETA, 8, 128), np.int32)
+    vmeta[:, :, M_POS] = -1                  # pos: -1 = carry (or dead)
     segs = []
     cursor = 0
 
@@ -484,33 +568,40 @@ def prepare_huf128(blobs, groups=8):
         return r0, rows
 
     out_cursor = 0
-    T = 1
     tmeta_rows = []
-    for cell, k in enumerate(order):
-        bi, si, rev, pos_init, n_out, bnds, pks, lid = stream_list[k]
+    for cell in range(n_cells):
         G = cell // 128
         g = (cell % 128) // 8
         r = (cell % 128) % 8
-        rr0, nrows = add_seg(rev)
-        n_sup = max((n_out + 511) >> 9, 1)
-        T = max(T, n_sup)
-        # 8-align each stream's output rows (translate tile uniformity)
-        out_cursor = (out_cursor + 7) & ~7
-        meta_s[cell] = (rr0, nrows, out_cursor, n_sup)
-        tasks[bi].append((si, out_cursor, n_out))
-        tmeta_rows.extend([lid] * ((n_sup + 7) >> 3))  # one per 8-row tile
-        out_cursor += n_sup
-
+        lane = cell % 128
         lanes8 = slice(g * 8, g * 8 + 8)
-        vmeta[G, M_POS, r, lanes8] = pos_init
-        vmeta[G, M_RLEN, r, lanes8] = len(rev) - 1
-        vmeta[G, M_OLEN, r, lanes8] = n_out
-        for kk in range(10):
-            vmeta[G, M_BND + kk, r, lanes8] = bnds[kk]
-        for kk in range(8):
-            vmeta[G, M_PA, r, g * 8 + kk] = pks[kk]
-        for kk in range(3):
-            vmeta[G, M_PB, r, g * 8 + kk] = pks[8 + kk]
+        blk = 0
+        for k in cell_streams[cell]:
+            bi, si, rev, pos_init, n_out, bnds, pks, lid = stream_list[k]
+            rr0, nrows = add_seg(rev)
+            # 8-row-padded output region: the kernel flushes one 8-row
+            # (4 KB) contiguous DMA per cell per episode, so a stream's
+            # final partial episode writes junk into its own padding
+            # (never a neighbour); translate tiles stay blob-uniform
+            tasks[bi].append((si, out_cursor, n_out))
+            tmeta_rows.extend([lid] * eps[k])
+            for b in range(eps[k]):
+                meta[blk + b, G, 0, lane] = rr0
+                meta[blk + b, G, 1, lane] = nrows
+                meta[blk + b, G, 2, lane] = out_cursor + b * 8
+                meta[blk + b, G, 3, lane] = 1 if b == 0 else 0
+                vmeta[blk + b, G, M_POS, r, lanes8] = \
+                    pos_init if b == 0 else -1
+                vmeta[blk + b, G, M_RLEN, r, lanes8] = len(rev) - 1
+                vmeta[blk + b, G, M_OLEN, r, lanes8] = n_out - b * 4096
+                for kk in range(10):
+                    vmeta[blk + b, G, M_BND + kk, r, lanes8] = bnds[kk]
+                for kk in range(8):
+                    vmeta[blk + b, G, M_PA, r, g * 8 + kk] = pks[kk]
+                for kk in range(3):
+                    vmeta[blk + b, G, M_PB, r, g * 8 + kk] = pks[8 + kk]
+            blk += eps[k]
+            out_cursor += eps[k] * 8
 
     out_cursor = (out_cursor + TR_ROWS - 1) & ~(TR_ROWS - 1)
     while len(tmeta_rows) < out_cursor // 8:
@@ -529,17 +620,26 @@ def prepare_huf128(blobs, groups=8):
     tr = np.zeros(((len(tmeta_rows) + 127) // 128) * 128, np.int32)
     tr[:len(tmeta_rows)] = tmeta_rows
     tmeta = tr.reshape(-1, 128)
-    mflat = np.zeros(((n_cells * 4 + 127) // 128) * 128, np.int32)
-    mflat[:n_cells * 4] = meta_s.reshape(-1)
-    meta_s = mflat.reshape(-1, 128)
-    return Huf128Batch(meta_s=meta_s, vmeta=vmeta.reshape(-1, 128),
+    return Huf128Batch(meta_s=meta.reshape(-1, 128),
+                       vmeta=vmeta.reshape(-1, 128),
                        pool=pool, luts=luts_arr, tmeta=tmeta,
-                       T=T, groups=groups, out_rows=out_cursor,
+                       T=T8, groups=groups, out_rows=out_cursor,
                        tasks=tasks)
 
 
-def huf_decompress_128(blobs, groups=8, il=2, interpret=False):
+def pick_groups(n_streams: int) -> int:
+    """Cells should be OVERSUBSCRIBED ~3-4x so cell chains stay busy:
+    idle cells still pay every super (throughput scales with busy
+    cells/super, measured il4 == il8 at equal totals)."""
+    return min(8, max(1, n_streams // 384))
+
+
+def huf_decompress_128(blobs, groups=None, il=None, interpret=False):
     """Decode a batch of Huff0 blobs [(blob, dst_size)] -> [bytes]."""
+    if groups is None:
+        groups = pick_groups(4 * len(blobs))
+    if il is None:
+        il = groups
     hb = prepare_huf128(blobs, groups=groups)
     ranks = _huf128_call(jnp.asarray(hb.meta_s), jnp.asarray(hb.vmeta),
                          jnp.asarray(hb.pool), T=hb.T, groups=hb.groups,

@@ -72,14 +72,19 @@ BAND = 512                   # bytes per slot per round (1 ring tile;
                              # continuation pass, see NOTES_ROUND2)
 NP = BAND // 128             # enc planes per band
 TPB = BAND // 512            # ring/output tiles per band
-SUP_TILES = max(2, TPB)      # 512-tiles per refill super (refills +
-                             # block-transition work amortize over 1 KB)
+SUP_TILES = max(int(os.environ.get("LANE_SUP", "2")), TPB)
+                             # 512-tiles per refill super (refills +
+                             # block-transition work amortize over
+                             # SUP_TILES*512 bytes; backing windows and
+                             # lookahead scale below)
 SUP_BANDS = SUP_TILES // TPB  # bands per refill super
 RING_TILES = 130             # 130*512 = 66560 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
-NT_B = 8                     # parse BACKING window tiles (4 KB, DMA-refilled)
+NT_B = 8 if SUP_TILES <= 2 else 16
+                             # parse BACKING window tiles (DMA-refilled);
+                             # must cover LA_P + one super's consumption
 NT_P = 4                     # parse FRONT window tiles (2 KB, vector-rebuilt)
-NT_CB = 8                    # carry backing tiles (4 KB)
+NT_CB = NT_B                 # carry backing tiles
 NT_C = 2                     # carry front tiles (1 KB: 511 align
                              # + up to BAND carry bytes per band)
 NT_F = 4                     # flags backing tiles (2 KB)
@@ -88,8 +93,15 @@ NT_FF = 3                    # flags front tiles (1.5 KB, rebuilt per
                              # align + BAND 1-byte tokens + 128 lookahead)
 NT_OB = 8                    # off16/off24 backing tiles (4 KB, LIZv1)
 NT_O = 2                     # off16/off24 front tiles (1 KB, LIZv1)
-LA_P = 2560                  # backing lookahead bytes per refill
-LA_C = 2560
+LA_P = 2560 if SUP_TILES <= 2 else 5376
+                             # backing lookahead bytes per refill: must
+                             # cover (SUP_BANDS-1) bands' worst-case
+                             # parse-stream consumption (~1280 B/band:
+                             # BAND literals + 128 tokens x ~6 ext/off
+                             # bytes) plus the DEFER_TH reach of the
+                             # super's last band; window span LA_P+1 KB
+                             # must fit NT_B*512
+LA_C = LA_P
 LA_F = 1024
 LA_O = 2560
 LIZ_RING_TILES = 258         # 258*512 = 132096 > 128 KB reach + BAND

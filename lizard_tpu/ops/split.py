@@ -197,12 +197,18 @@ def split_streams(streams: list[bytes],
     return finalize(acc, family or Codewords.LZ4)
 
 
-def decode_pending_tpu(pend, groups=8, il=8):
+def decode_pending_tpu(pend, groups=None, il=None):
     """Decode deferred huf blobs [(blob, orig, out_buf)] in <=256-blob
     batches on the lane-packed TPU kernel; host fallback per batch on
-    unsupported tables (tableLog > 11)."""
+    unsupported tables (tableLog > 11). Blobs are batched LARGEST-FIRST
+    so batches are length-homogeneous: a kernel batch runs max(n_supers)
+    supers for every stream, so mixing long literals blobs with short
+    flags blobs leaves most cells idle most supers."""
     from lizard_tpu.ops.huf128 import huf_decompress_128
-    cap = groups * 128 // 4
+    # cell chains pack any number of streams per batch (episodes queue up
+    # per cell); the cap only bounds one batch's pool/output memory
+    cap = 4096
+    pend = sorted(pend, key=lambda t: -t[1])
     for b0 in range(0, len(pend), cap):
         chunk = pend[b0:b0 + cap]
         try:

@@ -17,8 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-IL = int(os.environ.get("HUF_IL", "8"))
-GROUPS = int(os.environ.get("HUF_GROUPS", "8"))
+IL = os.environ.get("HUF_IL")
+GROUPS = os.environ.get("HUF_GROUPS")
 SECONDS = float(os.environ.get("BENCH_SECONDS", "3"))
 MB = int(os.environ.get("BENCH_CORPUS_MB", "16"))
 LEVEL = int(os.environ.get("BENCH_LEVEL", "41"))
@@ -59,48 +59,39 @@ def main():
     total = sum(d for _, d in pend)
     print(f"# blobs={len(pend)} entropy_bytes={total}", file=sys.stderr)
 
-    cap = GROUPS * 128 // 4
-    batches = []
-    for b0 in range(0, len(pend), cap):
-        hb = prepare_huf128(pend[b0:b0 + cap], groups=GROUPS)
-        batches.append((hb, tuple(map(jnp.asarray,
-                                      (hb.meta_s, hb.vmeta, hb.pool,
-                                       hb.luts, hb.tmeta)))))
-
-    def run():
-        outs = []
-        for hb, (hm, hv, hp, hl, ht) in batches:
-            r = _huf128_call(hm, hv, hp, T=hb.T, groups=GROUPS, il=IL,
-                             out_rows=hb.out_rows)
-            outs.append(_translate_call(ht, r, hl))
-        outs[-1].block_until_ready()
-        return outs
-
-    outs = run()
-    # verify (skip when ablating)
-    if not os.environ.get("HUF_ABL"):
-        k = 0
-        for hb, _ in batches:
-            flat = b"".join(np.asarray(o).astype(np.int32).tobytes()
-                            for o in outs[k:k + 1])
-            k += 1
-            for pb in hb.tasks:
-                if isinstance(pb, tuple):
-                    continue
-                for si, row0, n_out in sorted(pb):
-                    pass    # layout check only; full parity in tests
-    best = float("inf")
-    tt = 0.0
-    it = 0
-    while tt < SECONDS:
+    # The axon runtime serves REPEAT executions of an executable from a
+    # cache (observed: first call real, later calls ~0.1 ms even with
+    # perturbed inputs). The only honest protocol here: AOT-compile each
+    # variant, then time exactly the FIRST execution. K disjoint subsets
+    # give K independent samples; report the median sample.
+    from lizard_tpu.ops.huf128 import pick_groups
+    pend.sort(key=lambda t: -t[1])
+    K = 3
+    subsets = [pend[k::K] for k in range(K)]
+    samples = []
+    for sub in subsets:
+        g = int(GROUPS) if GROUPS else pick_groups(4 * len(sub))
+        hb = prepare_huf128(sub, groups=g)
+        il = int(IL) if IL else g
+        hm, hv, hp, hl, ht = map(jnp.asarray, (hb.meta_s, hb.vmeta,
+                                               hb.pool, hb.luts,
+                                               hb.tmeta))
+        c1 = _huf128_call.lower(hm, hv, hp, T=hb.T, groups=hb.groups,
+                                il=il, out_rows=hb.out_rows).compile()
+        c2 = _translate_call.lower(ht, jnp.zeros((hb.out_rows, 128),
+                                                 jnp.int32), hl).compile()
         t0 = time.perf_counter()
-        run()
+        r = c1(hm, hv, hp)
+        o = c2(ht, r, hl)
+        o.block_until_ready()
         dt = time.perf_counter() - t0
-        best = min(best, dt)
-        tt += dt
-        it += 1
+        nbytes = sum(d for _, d in sub)
+        samples.append((nbytes / dt / 1e9, dt * 1e3, len(sub)))
+    samples.sort()
+    med = samples[len(samples) // 2]
     print(f"huf128 il={IL} groups={GROUPS} abl='{os.environ.get('HUF_ABL','')}' "
-          f"{total / best / 1e9:.4f} GB/s best={best*1e3:.2f}ms iters={it}")
+          f"{med[0]:.4f} GB/s t={med[1]:.2f}ms subsets={K} "
+          f"all={[round(s[0], 3) for s in samples]}")
 
 
 if __name__ == "__main__":
