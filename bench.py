@@ -11,8 +11,11 @@ Pallas kernel (lizard_tpu/ops/lane_decode.py): 128 block-slots decode
 simultaneously, 8 per sublane row x 16 groups, 4 groups interleaved per
 kernel instance. Timing covers the on-device decode with inputs pre-staged
 in HBM and output left on device (the reference's RAM-to-RAM analogue).
-For Huffman levels (30-49) the entropy stage currently runs in the host
-splitter and is NOT in the timed region.
+For Huffman levels (30-49) BOTH on-device stages are timed: the
+cell-chained Huff0 kernel (ops/huf128.py, AOT-compiled and timed on its
+first execution — repeat executions are served from a runtime cache —
+with output verified against the host entropy decoder) plus the LZ lane
+kernel; host staging between the stages is excluded.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sweep",
 "encode_mbps"}. metric/value/vs_baseline are the headline level
@@ -20,8 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sweep",
 decode (BASELINE.md; level 10: 2.610 GB/s). "sweep" records one decode
 GB/s entry per level across all four families on the same corpus
 (BENCH_SWEEP=0 to disable); "encode_mbps" records the native C++
-encoder's speed per family. Huffman levels (30-49) time only the LZ
-stage on-device; the entropy stage runs in the host splitter.
+encoder's speed per family.
 """
 
 import json

@@ -27,6 +27,14 @@ axis-0 gathers are NOT native, tools/probe_transpose.py); backing is 4
 row-parity tiles per lane group, refilled per super by a scalar DMA loop
 fed from vector-packed counts (the lane_decode.py refill pattern).
 
+Scheduling: cells are OVERSUBSCRIBED — each cell decodes a CHAIN of
+streams cut into 8-super (4 KB output) episodes, with all transitions at
+block boundaries where one DMA stages the block's metadata for every
+cell (kernel docstring). This keeps occupancy high regardless of stream
+length variance (the naive T = max(supers) layout measured 34% busy),
+and output flushes one contiguous 4 KB DMA per cell per block instead of
+eight scattered 512 B rows.
+
 Bit semantics mirror ref/huf.py exactly (streams byte-REVERSED on the
 host so backward bit consumption is a forward byte pointer, as in
 lane_huf.py). Cites: lib/entropy/huf_decompress.c:111-198 (X1 table +
@@ -42,8 +50,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-_ABL = os.environ.get("HUF_ABL", "")   # perf ablation hooks
 
 TL = 11                    # uniform lookup width (tables expanded on host)
 NPAR = 4                   # backing row-parity tiles per lane group
@@ -273,11 +279,7 @@ def _huf128_kernel(T8, groups, il, meta_hbm, vmeta_hbm, pool_hbm, out_hbm,
                 new_poss.append(pos)
             return tuple(new_poss)
 
-        if _ABL != "skipsym":
-            poss = jax.lax.fori_loop(0, CPS, chunk_body, tuple(poss))
-
-        if _ABL == "skiprefill":
-            new_fills.extend(fills)
+        poss = jax.lax.fori_loop(0, CPS, chunk_body, tuple(poss))
         return tuple(poss) + tuple(new_fills)
 
     def block_body(blk, carry):
