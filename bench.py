@@ -141,6 +141,8 @@ def bench_decode_level(data, level, seconds):
             c2 = _translate_call.lower(
                 ht, jnp.zeros((hb.out_rows, 128), jnp.int32),
                 hl).compile()
+            for a in (hm, hv, hp, hl, ht):   # pre-stage inputs in HBM
+                a.block_until_ready()
             t0 = time.perf_counter()
             r = c1(hm, hv, hp)
             o = c2(ht, r, hl)

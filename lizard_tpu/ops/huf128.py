@@ -643,6 +643,8 @@ def huf_decompress_128(blobs, groups=None, il=None, interpret=False):
     if il is None:
         il = groups
     hb = prepare_huf128(blobs, groups=groups)
+    if hb.out_rows == 0:       # all-RLE batch: nothing for the kernel
+        return [pb[1] for pb in hb.tasks]
     ranks = _huf128_call(jnp.asarray(hb.meta_s), jnp.asarray(hb.vmeta),
                          jnp.asarray(hb.pool), T=hb.T, groups=hb.groups,
                          il=il, out_rows=hb.out_rows, interpret=interpret)
