@@ -1,5 +1,7 @@
 """Lane-packed Huff0 decoder (ops/huf128.py) vs the bit-exact oracle,
-CPU interpret mode."""
+CPU interpret mode. Interpret runs of the 8-super-unrolled kernel take
+minutes each, so the heavier cases are --run-slow; the production-geometry
+hardware parity sweep lives in test_lane_hw.py (test_huf128_hardware)."""
 
 import numpy as np
 import pytest
@@ -39,6 +41,7 @@ def test_multiple_blobs_mixed():
             text_like(4096, 4), bytes(range(13)) * 150])
 
 
+@pytest.mark.slow
 def test_sizes_odd():
     _check([text_like(n, n) for n in (515, 1000, 2049, 700)])
 
@@ -52,11 +55,13 @@ def test_rle_blob_host_path():
     assert outs[1] == b"z" * 100
 
 
+@pytest.mark.slow
 def test_multi_row_streams():
     # streams spanning several 512 B output rows + backing rows
     _check([text_like(9000, 7), text_like(12000, 8)])
 
 
+@pytest.mark.slow
 def test_skewed_weights():
     d = (b"a" * 4000 + b"b" * 300 + b"c" * 40 + bytes(range(64)))
     _check([d])

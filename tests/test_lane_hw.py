@@ -130,3 +130,35 @@ def test_encoder_production_parity(level):
                                interpret=False)
     for d, e in zip(blocks, encs):
         assert bytes(decompress(e, max_out=len(d))) == d
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+def test_huf128_hardware():
+    """Cell-chained Huff0 kernel (ops/huf128.py) parity on the real chip:
+    a mixed blob set spanning single-row and multi-row streams, skewed
+    weights, odd sizes, an RLE blob, and enough streams that cells form
+    chains (adaptive groups oversubscribe cells ~3-4x)."""
+    from lizard_tpu.ref.huf_encode import huf_compress
+    from lizard_tpu.ops.huf128 import huf_decompress_128
+    from lizard_tpu.utils.datagen import gen, text_like
+
+    datas = []
+    for n in (515, 1000, 2049, 3000, 4096, 9000, 12000, 700):
+        datas.append(text_like(n, n))
+    for s in range(40):                      # force chains on few cells
+        datas.append(gen(2500 + 97 * s, 50 + s, proba=0.8))
+    datas.append(b"a" * 4000 + b"b" * 300 + b"c" * 40 + bytes(range(64)))
+    blobs = []
+    keep = []
+    for d in datas:
+        c = huf_compress(d)
+        if c is None or len(c) <= 1:
+            continue
+        blobs.append((c, len(d)))
+        keep.append(d)
+    blobs.append((b"z", 77))                 # RLE host path
+    keep.append(b"z" * 77)
+    outs = huf_decompress_128(blobs)
+    assert len(outs) == len(keep)
+    for i, (got, want) in enumerate(zip(outs, keep)):
+        assert got == want, f"blob {i} mismatch ({len(got)}/{len(want)})"
