@@ -33,6 +33,23 @@ if not _USE_TPU:
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process runs of the interpret-mode kernel suites
+    accumulate XLA CPU executables/buffers until the process eventually
+    segfaults (observed in full-suite runs ~35-55 min in, inside an
+    interpret _lane_call; every module passes in isolation). Dropping
+    JAX's in-memory caches between modules keeps the footprint bounded;
+    within-module compile reuse is preserved."""
+    yield
+    import gc
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--run-slow", action="store_true", default=False,
