@@ -7,7 +7,11 @@ Backends:
 - "jax":  batched JAX/Pallas path (default where available)
 """
 
+import logging
+
 from lizard_tpu.format.constants import LIZARD_DEFAULT_CLEVEL
+
+logger = logging.getLogger("lizard_tpu")
 
 
 def compress(data: bytes, level: int = LIZARD_DEFAULT_CLEVEL,
@@ -75,9 +79,18 @@ def decompress_frame(data: bytes, backend: str = "auto", **kw) -> bytes:
             if jax.default_backend() == "tpu" and len(data) > (1 << 20):
                 from lizard_tpu.frame import decompress_frame_lanes
                 return decompress_frame_lanes(data, **kw)
-        except Exception:
-            # Ineligible frame shape (FrameError/ValueError), missing jax,
-            # or an XLA runtime failure: the scalar path below always decodes.
-            pass
+        except ValueError as e:
+            # Ineligible frame shape (FrameError or a lane-path ValueError):
+            # expected for linked/small frames; the scalar path decodes it.
+            logger.debug("lane decode ineligible (%s); scalar path", e)
+        except ImportError as e:
+            logger.debug("jax unavailable (%s); scalar path", e)
+        except Exception as e:
+            # An XLA/runtime failure on an ELIGIBLE frame is a kernel
+            # regression, not a routine fallback -- make it visible instead
+            # of silently eating a ~1000x slowdown.
+            logger.warning(
+                "TPU lane decode failed (%s: %s); falling back to the "
+                "scalar decoder", type(e).__name__, e)
     kw.pop("interpret", None)
     return _df(data, **kw)

@@ -178,14 +178,16 @@ def _decompress_backend(opts, data):
                 from lizard_tpu.frame import decoded_size_bound
                 return runtime.decompress_frame(
                     data, max_out=decoded_size_bound(data))
-            except Exception:
-                pass
+            except Exception as e:
+                _log(opts, 1, f"lizard: native decoder failed "
+                     f"({type(e).__name__}: {e}); using scalar decoder")
     if opts.backend in ("lanes", "jax"):
         from lizard_tpu.api import decompress_frame
         try:
             return decompress_frame(data, backend="auto")
-        except Exception:
-            pass
+        except Exception as e:
+            _log(opts, 1, f"lizard: lane decoder failed "
+                 f"({type(e).__name__}: {e}); using scalar decoder")
     dec = FrameDecoder()
     out = dec.update(data)
     # Any unconsumed bytes — a mid-frame truncation OR a trailing fragment
@@ -417,11 +419,18 @@ def _do_file_decompress(opts, src_path, test_only=False):
 
 def _do_bench(opts):
     """In-memory benchmark, programs/bench.c protocol (fastest of N,
-    xxh64-verified round-trip)."""
+    xxh64-verified round-trip). Like the reference's -b, this times the
+    FAST paths: the native C++ encoder/decoder when built (the oracle at
+    ~0.1 MB/s would make -b unusable on real files), oracle otherwise."""
+    from lizard_tpu import runtime
     from lizard_tpu.api import compress as block_compress
-    from lizard_tpu.ref.block_decode import decompress as block_decompress
+    from lizard_tpu.ref.block_decode import decompress as oracle_decompress
     from lizard_tpu.utils.datagen import gen
 
+    native = runtime.available()
+    if not native:
+        _log(opts, 1, "lizard: native runtime unavailable; "
+             "bench uses the (slow) scalar oracle")
     datas = ([open(p, "rb").read() for p in opts.inputs]
              if opts.inputs else [gen(1 << 20, seed=0)])
     lv_end = max(opts.bench_level_end, opts.level)
@@ -430,10 +439,16 @@ def _do_bench(opts):
             csize, cbest, dbest = None, float("inf"), float("inf")
             for _ in range(opts.bench_iters):
                 t0 = time.perf_counter()
-                comp = block_compress(data, level)
+                if native:
+                    comp = runtime.compress(data, level)
+                else:
+                    comp = block_compress(data, level)
                 cbest = min(cbest, time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                out = block_decompress(comp, max_out=len(data))
+                if native:
+                    out = runtime.decompress(comp, max_out=len(data))
+                else:
+                    out = oracle_decompress(comp, max_out=len(data))
                 dbest = min(dbest, time.perf_counter() - t0)
                 csize = len(comp)
                 assert xxh64(out) == xxh64(data), "round-trip mismatch!"

@@ -42,7 +42,6 @@ lane_huf.py). Cites: lib/entropy/huf_decompress.c:111-198 (X1 table +
 """
 
 import functools
-import os
 from dataclasses import dataclass
 
 import jax

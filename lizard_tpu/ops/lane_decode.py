@@ -78,6 +78,10 @@ SUP_TILES = max(int(os.environ.get("LANE_SUP", "2")), TPB)
                              # SUP_TILES*512 bytes; backing windows and
                              # lookahead scale below)
 SUP_BANDS = SUP_TILES // TPB  # bands per refill super
+# LA_P/NT_B below are calibrated only for SUP_TILES in {2, 4}: beyond that
+# the worst-case parse consumption (SUP_BANDS-1)*~1280 B exceeds the
+# lookahead and decodes would be silently wrong during ablation runs.
+assert SUP_TILES in (2, 4), f"LANE_SUP={SUP_TILES} uncalibrated (use 2 or 4)"
 RING_TILES = 130             # 130*512 = 66560 > 65535 (max offset) + BAND
 RING_BYTES = RING_TILES * 512
 NT_B = 8 if SUP_TILES <= 2 else 16

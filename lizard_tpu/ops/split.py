@@ -198,7 +198,7 @@ def split_streams(streams: list[bytes],
 
 
 def decode_pending_tpu(pend, groups=None, il=None):
-    """Decode deferred huf blobs [(blob, orig, out_buf)] in <=256-blob
+    """Decode deferred huf blobs [(blob, orig, out_buf)] in <=4096-blob
     batches on the lane-packed TPU kernel; host fallback per batch on
     unsupported tables (tableLog > 11). Blobs are batched LARGEST-FIRST
     so batches are length-homogeneous: a kernel batch runs max(n_supers)

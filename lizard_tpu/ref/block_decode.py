@@ -34,8 +34,7 @@ from lizard_tpu.format.constants import (
 from lizard_tpu.format.levels import LEVELS, Codewords
 
 
-class CorruptError(ValueError):
-    pass
+from lizard_tpu.errors import CorruptError  # noqa: F401 (re-export)
 
 
 def _le24(b: bytes, i: int) -> int:
@@ -287,6 +286,8 @@ def decompress(src: bytes, max_out: int | None = None, huf_decode=None,
             ip += n
             if stop_at is not None and len(out) - prefix >= stop_at:
                 break
+            if max_out is not None and len(out) - prefix > max_out:
+                raise CorruptError("output exceeds max_out")
             continue
         if header & FLAG_LEN:
             raise CorruptError("FLAG_LEN set (reference rejects)")

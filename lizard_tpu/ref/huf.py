@@ -22,8 +22,7 @@ FSE_MIN_TABLELOG = 5
 FSE_TABLELOG_ABSOLUTE_MAX = 15
 
 
-class HufError(ValueError):
-    pass
+from lizard_tpu.errors import CorruptError, HufError  # noqa: F401 (re-export)
 
 
 class BitReader:

@@ -15,7 +15,11 @@ from lizard_tpu.streaming import (
 )
 from lizard_tpu.utils.datagen import gen
 
-N_CYCLES = 60
+import os
+
+# reference default is 65536 cycles with CI at -T3mn (tests/fuzzer.c:60,
+# tests/Makefile:66); 150 oracle cycles keep this module under ~1 min
+N_CYCLES = int(os.environ.get("LIZARD_FUZZ_CYCLES", "150"))
 
 
 @pytest.fixture(scope="module")
@@ -37,8 +41,14 @@ def test_fuzz_cycles(corpus):
 
         comp = compress(block, level)
 
-        # exact-size decode
+        # output-budget matrix (fuzzer.c:377-440): exact and +1 budgets
+        # succeed with identical output; -1 must fail with CorruptError,
+        # never crash and never return silently-truncated data.
         assert decompress(comp, max_out=size) == block
+        assert decompress(comp, max_out=size + 1) == block
+        if size > 0:
+            with pytest.raises(CorruptError):
+                decompress(comp, max_out=size - 1)
         # truncated input must never round-trip
         if len(comp) > 2:
             cut = int(rng.integers(1, len(comp)))
@@ -47,14 +57,23 @@ def test_fuzz_cycles(corpus):
                 assert got != block
             except CorruptError:
                 pass
-        # single-byte corruption: either detected or decodes to something else
+        # single-byte corruption: the decoder must either detect it
+        # (CorruptError -- the ONLY acceptable exception) or decode to
+        # different bytes than the original. Any other exception is a
+        # decoder bug; silent equality means the flip was load-bearing-free
+        # (possible only in unreferenced padding, which Lizard has none of
+        # past the level byte).
         bad = bytearray(comp)
         pos = int(rng.integers(1, len(bad)))
         bad[pos] ^= 0xFF
         try:
-            decompress(bytes(bad), max_out=size)
-        except (CorruptError, Exception):
+            got = decompress(bytes(bad), max_out=size)
+        except CorruptError:
             pass
+        else:
+            assert got != block, \
+                f"cycle {cycle}: flipped byte {pos} of {len(bad)} " \
+                f"was silently ignored (level {level}, size {size})"
 
 
 def test_partial_decode(corpus):

@@ -37,8 +37,17 @@ def test_single_blob():
 
 
 def test_multiple_blobs_mixed():
-    _check([text_like(2000, 2), gen(1500, 3, proba=0.8),
-            text_like(4096, 4), bytes(range(13)) * 150])
+    """One kernel call covering the core scheduling paths in the default
+    (interpret) run: mixed sizes, one ~9 KB blob whose streams span
+    multiple 8-super episodes (block-boundary pos/fill/trk carry), and
+    33 blobs = 132 streams > 128 cells at groups=1 so at least one cell
+    chains two streams. Tracing dominates interpret cost, so folding
+    these into one case is ~4 min cheaper than separate cases."""
+    specs = [text_like(2000, 2), gen(1500, 3, proba=0.8),
+             text_like(4096, 4), bytes(range(13)) * 150,
+             text_like(9200, 6)]
+    specs += [text_like(300 + 7 * i, 100 + i) for i in range(28)]
+    _check(specs)
 
 
 @pytest.mark.slow

@@ -2,13 +2,14 @@
 """Micro-bench of the lane-packed Huff0 decode kernel (ops/huf128.py).
 
 Builds one batch of Huff0 blobs (the flags+literals streams the Huffman
-levels produce), then times _huf128_call + _translate_call fastest-of-N.
-Pallas kernels are side-effecting and never served from the axon
-execution cache, so a plain timing loop is valid (NOTES_ROUND2.md).
+levels produce), then times the kernel under the ONE-SHOT protocol: the
+axon runtime serves REPEAT executions of this executable from a cache
+(~0.1 ms, stale buffers, even with perturbed inputs -- NOTES_ROUND4.md),
+so each timed sample AOT-compiles a distinct executable and times exactly
+its first execution, RTT-subtracted.
 
-Env: HUF_IL (default 8), HUF_GROUPS (8), HUF_ABL (kernel ablations:
-skipsym / skipflush / skiprefill), BENCH_SECONDS (3), BENCH_CORPUS_MB (16).
-Prints GB/s of decoded entropy bytes.
+Env: HUF_IL (default 8), HUF_GROUPS (8), BENCH_SECONDS (3),
+BENCH_CORPUS_MB (16). Prints GB/s of decoded entropy bytes.
 """
 
 import os
