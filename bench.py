@@ -64,6 +64,41 @@ def build_corpus(n_bytes: int) -> bytes:
     return b"".join(parts)[:n_bytes]
 
 
+def build_corpus_realfiles(n_bytes: int) -> bytes | None:
+    """Real mixed corpus: deterministic concatenation (sorted walk, tar
+    spirit) of the reference tree's files -- ~16 MB of real C sources,
+    docs, and build files. Complements the synthetic corpus so ratio
+    numbers do not depend on datagen's statistics (the reference's tables
+    are fixed-corpus, README.md:32-79). None when the tree is absent."""
+    import sysconfig
+    roots = os.environ.get(
+        "BENCH_REALFILES_DIR",
+        # reference tree (~1.4 MB of C/docs) + Python stdlib sources
+        # (tens of MB of real code/text, stable within the image)
+        "/root/reference:" + sysconfig.get_paths()["stdlib"]).split(":")
+    parts, total = [], 0
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            if "__pycache__" in dirnames:
+                dirnames.remove("__pycache__")   # .pyc embed timestamps
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                try:
+                    with open(p, "rb") as f:
+                        b = f.read()
+                except OSError:
+                    continue
+                parts.append(b)
+                total += len(b)
+                if total >= n_bytes:
+                    return b"".join(parts)[:n_bytes]
+    data = b"".join(parts)
+    return data if data else None
+
+
 def compress_blocks(data: bytes, level: int) -> list[bytes]:
     """Compress 128 KB independent blocks via the reference library
     (byte-identical to our encoder — proven by tests — but ~1000x faster
@@ -165,10 +200,23 @@ def bench_decode_level(data, level, seconds):
                 float(fence(tiny))
                 rtts.append(time.perf_counter() - tr)
             rtt = sorted(rtts)[1]
+            # The timed run's fence is a DISTINCT executable (different
+            # computation, pre-compiled outside the timed region) that has
+            # never executed: even an executable-keyed execution cache
+            # (observed on axon for some kernels, NOTES_ROUND4.md) cannot
+            # serve its result without actually draining the device queue,
+            # so the fence provably waits for c1/c2. (The generic `fence`
+            # above already executed on the decoy output, so it could in
+            # principle return without waiting.)
+            salt = b0 + 1
+            timed_fence = jax.jit(
+                lambda x: jnp.sum(x) + jnp.int32(salt)).lower(
+                    jax.ShapeDtypeStruct((hb.out_rows, 128),
+                                         jnp.int32)).compile()
             t0 = time.perf_counter()
             r = c1(hm, hv, hp)
             o = c2(ht, r, hl)
-            float(fence(o))
+            float(timed_fence(o))
             t_huf_best += max(time.perf_counter() - t0 - rtt, 0.0)
             flat = np.asarray(o).astype(np.int32).tobytes()
             for (blob, orig), pb in zip(sub, hb.tasks):
@@ -491,6 +539,27 @@ def main():
             print(f"# huf_enc_tpu: {hg:.4f} GB/s", file=sys.stderr)
         except Exception as e:
             result["huf_enc_tpu"] = {"error": str(e)[:120]}
+
+        # second corpus: real files (reference tree), decode GB/s + ratio
+        # per level on the TPU path, mirroring the reference's
+        # fixed-real-corpus discipline
+        real = build_corpus_realfiles(
+            int(os.environ.get("BENCH_REALFILES_MB", "16")) << 20)
+        if real is not None:
+            sweep_real = {}
+            for level in SWEEP_LEVELS:
+                try:
+                    g, r, it, ms = bench_decode_level(real, level, 1.0)
+                    b = BASELINE_DECODE_MBPS.get(level, 2610) / 1000.0
+                    sweep_real[str(level)] = {
+                        "gbps": round(g, 4), "vs_baseline": round(g / b, 4),
+                        "ratio": round(r, 4)}
+                    print(f"# real L{level}: {g:.4f} GB/s ratio={r:.4f}",
+                          file=sys.stderr)
+                except Exception as e:
+                    sweep_real[str(level)] = {"error": str(e)[:120]}
+            result["sweep_realfiles"] = {"bytes": len(real),
+                                         "levels": sweep_real}
 
     print(json.dumps(result))
 
