@@ -131,6 +131,28 @@ NFENT = 8                    # far-window entries (512 B output tiles DMAd
                              # band; bands needing more flag the block for
                              # host fallback
 
+# ---- family-0 (fastLZ4) two-plane band geometry (NOTES_ROUND4 design):
+# 1024-byte bands scanned as 256 tokens in two 128-lane planes. Per-band
+# fixed costs (fronts, prologue, while-loop syncs, walk-operand hoists,
+# flush bookkeeping) halve per output byte; per-token work is unchanged
+# (two plane instances); placement gathers pay ~2x per field (plane
+# select). LZ4 tokens emit >= 4 B each, so <= 256 tokens always cover a
+# 1024 B band -- the continuation pass stays rare. LIZv1 keeps BAND=512:
+# rep-token floods can emit < 4 B/token, and 256-token bands would blow
+# NT_FF/LA_O/DEFER_TH coverage.
+BAND_F0 = 1024
+NTP_F0 = 2                   # token planes (256-token scan)
+NT_P_F0 = 7                  # parse front tiles (3.5 KB)
+NT_C_F0 = 3                  # carry front tiles (511 align + 1024 carry)
+NT_FF_F0 = 2                 # flags front tiles (511 + 256 tokens + 128)
+LA_P_F0 = 3072               # parse lookahead; +1 KB band fits NT_B*512
+DEFER_TH_F0 = 2560           # = BAND_F0 + 256 tokens x 6 ext/off bytes
+
+# family-1 aliases (the module-level values above): the kernel shadows
+# BAND/NP/TPB/... with per-family locals chosen from these pairs
+BAND_F1, NT_P_F1, NT_C_F1, NT_FF_F1 = BAND, NT_P, NT_C, NT_FF
+LA_P_F1, DEFER_TH_F1 = LA_P, DEFER_TH
+
 _MASK_B = NT_B * 512 - 1
 _MASK_P = NT_P * 512 - 1
 _MASK_CB = NT_CB * 512 - 1
@@ -303,6 +325,23 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                  bounce, ltile, fwin, fmeta, trk, sems):
     """family: 0 = fastLZ4 codewords, 1 = LIZv1 codewords."""
     liz = family == 1
+    # per-family band geometry: these LOCALS shadow the module globals for
+    # every nested function below. Family 0 runs the two-plane 1024-byte
+    # band; family 1 keeps the single-plane 512-byte band.
+    if liz:
+        NTP, BAND = 1, BAND_F1
+        NT_P, NT_C, NT_FF = NT_P_F1, NT_C_F1, NT_FF_F1
+        LA_P, DEFER_TH = LA_P_F1, DEFER_TH_F1
+    else:
+        NTP, BAND = NTP_F0, BAND_F0
+        NT_P, NT_C, NT_FF = NT_P_F0, NT_C_F0, NT_FF_F0
+        LA_P, DEFER_TH = LA_P_F0, DEFER_TH_F0
+    NP = BAND // 128
+    TPB = BAND // 512
+    SUP_BANDS = SUP_TILES // TPB
+    assert SUP_TILES % TPB == 0, "LANE_SUP must be a multiple of TPB"
+    NTOK = NTP * 128             # tokens scanned per band
+    LA_C = LA_P
     gi = pl.program_id(0)
     g0 = gi * il
     lanes = _lanes8()
@@ -635,17 +674,67 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
 
         # ------------------------------------------------ scan-parse band
         # (SURVEY.md section 7 step 3: token scan -> length prefix sums ->
-        # placement). 128 tokens parse at once per (8,128) tile (lane =
-        # token index): flag bytes are random-accessible (1 byte/token),
-        # stream/output positions come from lane prefix sums, rare
-        # ext-length tokens are patched by a short fixup loop, and the
-        # band's bytes find their covering token by binary search.
+        # placement). NTP plane(s) of 128 tokens parse at once per (8,128)
+        # tile (lane = token index within plane): flag bytes are
+        # random-accessible (1 byte/token), stream/output positions come
+        # from lane prefix sums with cross-plane carries, rare ext-length
+        # tokens are patched by a short fixup loop, and the band's bytes
+        # find their covering token by per-plane binary searches.
+        # Per-token state is carried as per-plane LISTS (fix fields 0-6);
+        # the three defer fields are global token indices/values.
         INBAND = 1 << 25
         BIG = 1 << 29
+        idx127 = jnp.full((8, 128), 127, jnp.int32)
+
+        def prefix_excl_np(xs):
+            """Per-plane exclusive lane prefix sums with cross-plane
+            carry. Returns (list, grand total broadcast)."""
+            outs, carry = [], jnp.zeros((8, 128), jnp.int32)
+            for x in xs:
+                inc = _prefix_incl(x)
+                exc = jnp.where(lanes >= 1, pltpu.roll(inc, 1, 1), 0)
+                outs.append(exc + carry)
+                carry = carry + _at_lane(inc, idx127)
+            return outs, carry
+
+        def gat_tok(xs, idx):
+            """Element-wise value at GLOBAL token index idx (8,128) in
+            [0, NTOK): plane-selected take_along_axis."""
+            v = jnp.take_along_axis(xs[0], jnp.clip(idx, 0, 127), axis=1)
+            for tp in range(1, len(xs)):
+                g = jnp.take_along_axis(
+                    xs[tp], jnp.clip(idx - tp * 128, 0, 127), axis=1)
+                v = jnp.where(idx >= tp * 128, g, v)
+            return v
+
+        def search_tok(ends_eff, p, exact=False):
+            """Count of global token ends <= p across planes. Non-final
+            planes always count exactly (a fully-covered plane must
+            report 128, not the ladder's 127 cap)."""
+            c = None
+            for tp in range(len(ends_eff)):
+                ex = exact or (tp < len(ends_eff) - 1)
+                ct = _search_count(ends_eff[tp], p, exact=ex)
+                c = ct if c is None else c + ct
+            return c
+
+        NFIX = 7 * NTP + 3
+
+        def fix_flatten(fix):
+            out = []
+            for q in range(7):
+                out.extend(fix[q])
+            out.extend(fix[7:])
+            return tuple(out)
+
+        def fix_unflatten(ff):
+            fix = [list(ff[q * NTP:(q + 1) * NTP]) for q in range(7)]
+            return tuple(fix) + (ff[7 * NTP], ff[7 * NTP + 1],
+                                 ff[7 * NTP + 2])
 
         def scan_A(i, ctx, B, st):
             """Straight-line parse prologue for group i: resolve a deferred
-            match, classify 128 tokens from the flags stream, build
+            match, classify NTOK tokens from the flags stream, build
             baseline prefix sums. Returns staging for fixup + placement."""
             (fb_p, fb_c, fb_f, covered, lit_p0, lit_len, flag_len,
              fb_16, fb_24) = ctx
@@ -685,109 +774,141 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             Pb = B + fill
             Bq = Pb + cur_ll + cml          # first token's output position
 
-            tok = lanes
             nv = flag_len - flag_p
-            is_tok = (tok < nv) & (alive != 0) & \
-                jnp.logical_not(blocked)
-            is_tail = (tok == nv) & (alive != 0) & \
-                jnp.logical_not(blocked) & (nv < 128)
-            flag = _byte_at(ffront, i * NT_FF, flag_p + tok - fb_f,
-                            (1 << 30) - 1, NT_FF)
-            flag = jnp.where(is_tok, flag, 0)
+            is_tokL, is_tailL, flagL = [], [], []
+            ll_vL, ml_vL, adv_vL, auxL, nonsimpleL = [], [], [], [], []
+            for tp in range(NTP):
+                tok = lanes + tp * 128
+                is_tok = (tok < nv) & (alive != 0) & \
+                    jnp.logical_not(blocked)
+                is_tail = (tok == nv) & (alive != 0) & \
+                    jnp.logical_not(blocked) & (nv < NTOK)
+                flag = _byte_at(ffront, i * NT_FF, flag_p + tok - fb_f,
+                                (1 << 30) - 1, NT_FF)
+                flag = jnp.where(is_tok, flag, 0)
 
-            if not liz:
-                ll0 = flag & 15
-                ml0v = flag >> 4
-                nonsimple = ((ll0 == 15) | (ml0v == 15)) & is_tok
-                ll_v = ll0
-                ml_v = jnp.where(is_tok, ml0v + 4, 0)
-                adv_v = jnp.where(is_tok, ll0 + 2, 0)
-                aux = (ll0, ml0v, None, None, None)
-            else:
-                is_short = flag >= 32
-                is_rep = flag >= 128
-                ll0 = jnp.where(is_short, flag & 7, 0)
-                mls = (flag >> 3) & 15
-                nonsimple = ((is_short & ((ll0 == 7) | (mls == 15))) |
-                             (flag == 31)) & is_tok
-                ll_v = ll0
-                ml_v = jnp.where(
-                    is_tok,
-                    jnp.where(is_short, mls, flag + 16), 0)
-                adv_v = jnp.where(is_tok, ll0, 0)
-                u16 = (is_tok & is_short &
-                       jnp.logical_not(is_rep)).astype(jnp.int32)
-                u24 = (is_tok & jnp.logical_not(is_short)).astype(jnp.int32)
-                aux = (ll0, mls, is_short.astype(jnp.int32), u16, u24)
-            ll_v = jnp.where(is_tok, ll_v, 0)
+                if not liz:
+                    ll0 = flag & 15
+                    ml0v = flag >> 4
+                    nonsimple = ((ll0 == 15) | (ml0v == 15)) & is_tok
+                    ll_v = ll0
+                    ml_v = jnp.where(is_tok, ml0v + 4, 0)
+                    adv_v = jnp.where(is_tok, ll0 + 2, 0)
+                    aux = (ll0, ml0v, None, None, None)
+                else:
+                    is_short = flag >= 32
+                    is_rep = flag >= 128
+                    ll0 = jnp.where(is_short, flag & 7, 0)
+                    mls = (flag >> 3) & 15
+                    nonsimple = ((is_short & ((ll0 == 7) | (mls == 15))) |
+                                 (flag == 31)) & is_tok
+                    ll_v = ll0
+                    ml_v = jnp.where(
+                        is_tok,
+                        jnp.where(is_short, mls, flag + 16), 0)
+                    adv_v = jnp.where(is_tok, ll0, 0)
+                    u16 = (is_tok & is_short &
+                           jnp.logical_not(is_rep)).astype(jnp.int32)
+                    u24 = (is_tok &
+                           jnp.logical_not(is_short)).astype(jnp.int32)
+                    aux = (ll0, mls, is_short.astype(jnp.int32), u16, u24)
+                ll_v = jnp.where(is_tok, ll_v, 0)
+                is_tokL.append(is_tok)
+                is_tailL.append(is_tail)
+                flagL.append(flag)
+                ll_vL.append(ll_v)
+                ml_vL.append(ml_v)
+                adv_vL.append(adv_v)
+                auxL.append(aux)
+                nonsimpleL.append(nonsimple.astype(jnp.int32))
 
-            pre_s = _prefix_excl(adv_v)
-            pre_o = _prefix_excl(ll_v + ml_v)
+            pre_sL, _ = prefix_excl_np(adv_vL)
+            pre_oL, _ = prefix_excl_np(
+                [ll + ml for ll, ml in zip(ll_vL, ml_vL)])
             z = jnp.zeros((8, 128), jnp.int32)
-            fix = (pre_s, pre_o, ll_v, ml_v, adv_v, z, z,
+            fix = (pre_sL, pre_oL, ll_vL, ml_vL, adv_vL,
+                   [z] * NTP, [z] * NTP,
                    jnp.full((8, 128), 999, jnp.int32), z, z)
-            # fix: pre_s pre_o ll_v ml_v adv_v en_v done defer_at
-            #      defer_lp2 defer_am
-            inv = (lit_p, lit_p0, Bq, nonsimple.astype(jnp.int32), flag,
-                   aux, fb_p)
+            # fix: pre_s[] pre_o[] ll_v[] ml_v[] adv_v[] en_v[] done[]
+            #      defer_at defer_lp2 defer_am
+            inv = (lit_p, lit_p0, Bq, nonsimpleL, flagL, auxL, fb_p)
             carry9 = (alive, cur_ll, cur_ml, cur_off, cur_am, cur_src,
                       lit_p, flag_p, fill)
-            return fix, inv, carry9, (is_tok, is_tail, nv, blocked, Pb, cml)
-
-        NFIX = 10
+            return fix, inv, carry9, (is_tokL, is_tailL, nv, blocked, Pb,
+                                      cml)
 
         def pre_resolve_lz4(i, fix, inv):
             """Vector pre-pass: resolve every ml-ext-only token BEFORE the
             first ll-ext token in one shot. Their ext-byte positions don't
             depend on unread VALUES (only ll-ext values shift the stream),
             so with a 1-byte-ext speculation all reads issue in parallel;
-            lanes from the first ll-ext / multi-byte-ext / deferred token
+            tokens from the first ll-ext / multi-byte-ext / deferred token
             onward stay for the serial fixup loop."""
             (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
              defer_lp2, defer_am) = fix
             lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
-            ll0, ml0v = aux[0], aux[1]
-            ns = nonsimple != 0
-            eml = ns & (ll0 < 15)          # => ml0v == 15
-            c1 = _prefix_excl(eml.astype(jnp.int32))
-            lp2 = lit_p + pre_s + c1 + ll0
-            mpos = lp2 + 2
-            F = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
-            b0 = (F & 255).astype(jnp.int32)
-            dfr = lp2 > lit_p0 + DEFER_TH
-            bad = (ns & (ll0 == 15)) | (eml & ((b0 >= 254) | dfr))
-            first_bad = jnp.broadcast_to(
-                jnp.min(jnp.where(bad, lanes, 999), axis=1, keepdims=True),
-                (8, 128))
-            R = eml & (lanes < first_bad)
-            ml_new = b0 + 19                     # (b0+15) + MINMATCH
-            d_out = jnp.where(R, b0, 0)
-            pre_s = pre_s + _prefix_excl(R.astype(jnp.int32))
-            pre_o = pre_o + _prefix_excl(d_out)
-            ml_v = jnp.where(R, ml_new, ml_v)
-            adv_v = jnp.where(R, ll0 + 3, adv_v)
-            done = jnp.where(R, 1, done)
+            emlL = []
+            for tp in range(NTP):
+                ns = nonsimple[tp] != 0
+                emlL.append(ns & (aux[tp][0] < 15))   # => ml0v == 15
+            c1L, _ = prefix_excl_np([e.astype(jnp.int32) for e in emlL])
+            b0L, badL = [], []
+            first_bad = None
+            for tp in range(NTP):
+                ll0, ml0v = aux[tp][0], aux[tp][1]
+                ns = nonsimple[tp] != 0
+                lp2 = lit_p + pre_s[tp] + c1L[tp] + ll0
+                mpos = lp2 + 2
+                F = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
+                b0 = (F & 255).astype(jnp.int32)
+                dfr = lp2 > lit_p0 + DEFER_TH
+                bad = (ns & (ll0 == 15)) | (emlL[tp] & ((b0 >= 254) | dfr))
+                tokg = lanes + tp * 128
+                fb_t = jnp.min(jnp.where(bad, tokg, 999), axis=1,
+                               keepdims=True)
+                first_bad = fb_t if first_bad is None \
+                    else jnp.minimum(first_bad, fb_t)
+                b0L.append(b0)
+                badL.append(bad)
+            first_bad = jnp.broadcast_to(first_bad, (8, 128))
+            RL, d_outL = [], []
+            for tp in range(NTP):
+                tokg = lanes + tp * 128
+                R = emlL[tp] & (tokg < first_bad)
+                RL.append(R)
+                d_outL.append(jnp.where(R, b0L[tp], 0))
+            dRL, _ = prefix_excl_np([r.astype(jnp.int32) for r in RL])
+            dDL, _ = prefix_excl_np(d_outL)
+            for tp in range(NTP):
+                R = RL[tp]
+                ml_new = b0L[tp] + 19            # (b0+15) + MINMATCH
+                pre_s[tp] = pre_s[tp] + dRL[tp]
+                pre_o[tp] = pre_o[tp] + dDL[tp]
+                ml_v[tp] = jnp.where(R, ml_new, ml_v[tp])
+                adv_v[tp] = jnp.where(R, aux[tp][0] + 3, adv_v[tp])
+                done[tp] = jnp.where(R, 1, done[tp])
             return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
                     defer_lp2, defer_am)
 
         def pre_resolve_liz(i, fix, inv):
-            """LIZv1 analog of pre_resolve_lz4: resolve short tokens whose
-            only extension is the match length (ll0<7, mls==15) and long-
-            match tokens (flag==31, ml ext at the token's own parse
-            position) before the first ll-ext token, with the same 1-byte
-            speculation. LIZv1 parse advance per unresolved token is tiny
-            (ll0<=7 baseline, no inline offsets), so speculative positions
-            stay well inside the front window up to the first bad lane."""
+            """LIZv1 analog of pre_resolve_lz4 (single plane): resolve
+            short tokens whose only extension is the match length (ll0<7,
+            mls==15) and long-match tokens (flag==31, ml ext at the
+            token's own parse position) before the first ll-ext token,
+            with the same 1-byte speculation. LIZv1 parse advance per
+            unresolved token is tiny (ll0<=7 baseline, no inline offsets),
+            so speculative positions stay well inside the front window up
+            to the first bad lane."""
             (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
              defer_lp2, defer_am) = fix
             lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
-            ll0, mls, is_short_i = aux[0], aux[1], aux[2]
-            ns = nonsimple != 0
+            ll0, mls, is_short_i = aux[0][0], aux[0][1], aux[0][2]
+            ns = nonsimple[0] != 0
             short = is_short_i != 0
-            f31 = flag == 31
+            f31 = flag[0] == 31
             eml = ns & ((short & (ll0 < 7) & (mls == 15)) | f31)
             c1 = _prefix_excl(eml.astype(jnp.int32))
-            mpos = lit_p + pre_s + c1 + ll0       # ll0 == 0 for flag31
+            mpos = lit_p + pre_s[0] + c1 + ll0    # ll0 == 0 for flag31
             F = _funnel4(pfront, i * NT_P, mpos - fb_p, NT_P)
             b0 = (F & 255).astype(jnp.int32)
             dfr = mpos > lit_p0 + DEFER_TH
@@ -798,11 +919,11 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             R = eml & (lanes < first_bad)
             ml_new = jnp.where(f31, b0 + 47, b0 + 15)
             d_out = jnp.where(R, b0, 0)
-            pre_s = pre_s + _prefix_excl(R.astype(jnp.int32))
-            pre_o = pre_o + _prefix_excl(d_out)
-            ml_v = jnp.where(R, ml_new, ml_v)
-            adv_v = jnp.where(R, ll0 + 1, adv_v)
-            done = jnp.where(R, 1, done)
+            pre_s[0] = pre_s[0] + _prefix_excl(R.astype(jnp.int32))
+            pre_o[0] = pre_o[0] + _prefix_excl(d_out)
+            ml_v[0] = jnp.where(R, ml_new, ml_v[0])
+            adv_v[0] = jnp.where(R, ll0 + 1, adv_v[0])
+            done[0] = jnp.where(R, 1, done[0])
             return (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
                     defer_lp2, defer_am)
 
@@ -811,20 +932,21 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             (pre_s, pre_o, ll_v, ml_v, adv_v, en_v, done, defer_at,
              defer_lp2, defer_am) = fix
             lit_p, lit_p0, Bq, nonsimple, flag, aux, fb_p = inv
-            pm = (nonsimple != 0) & (done == 0) & \
-                (Bq + pre_o < B + BAND) & (lanes < defer_at)
-            sidx = jnp.broadcast_to(
-                jnp.min(jnp.where(pm, lanes, 999), axis=1, keepdims=True),
-                (8, 128))
+            sidx = None
+            for tp in range(NTP):
+                tokg = lanes + tp * 128
+                pm = (nonsimple[tp] != 0) & (done[tp] == 0) & \
+                    (Bq + pre_o[tp] < B + BAND) & (tokg < defer_at)
+                m = jnp.min(jnp.where(pm, tokg, 999), axis=1,
+                            keepdims=True)
+                sidx = m if sidx is None else jnp.minimum(sidx, m)
+            sidx = jnp.broadcast_to(sidx, (8, 128))
             hs = sidx < 999
-            s_eq = (lanes == sidx) & hs
-            s_gt = (lanes > sidx) & hs
-            lp_s = lit_p + _at_lane(pre_s, sidx)
-            flag_s = _at_lane(flag, sidx)
+            lp_s = lit_p + gat_tok(pre_s, sidx)
+            flag_s = gat_tok(flag, sidx)
             if not liz:
-                ll0_s, ml0v = aux[0], aux[1]
-                ll0s = _at_lane(ll0_s, sidx)
-                ml0s = _at_lane(ml0v, sidx)
+                ll0s = gat_tok([a[0] for a in aux], sidx)
+                ml0s = gat_tok([a[1] for a in aux], sidx)
                 exll_s = ll0s == 15
                 F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
                 ev, en = _ext_from(F)
@@ -842,10 +964,9 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 base_out = ll0s + ml0s + 4
                 am_s = ml0s
             else:
-                ll0_s, mls_v, is_short_i = aux[0], aux[1], aux[2]
-                ll0s = _at_lane(ll0_s, sidx)
-                mlss = _at_lane(mls_v, sidx)
-                short_s = _at_lane(is_short_i, sidx) != 0
+                ll0s = gat_tok([a[0] for a in aux], sidx)
+                mlss = gat_tok([a[1] for a in aux], sidx)
+                short_s = gat_tok([a[2] for a in aux], sidx) != 0
                 flag31 = flag_s == 31
                 exll_s = short_s & (ll0s == 7)
                 F = _funnel4(pfront, i * NT_P, lp_s - fb_p, NT_P)
@@ -874,13 +995,17 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             ml_fin = jnp.where(dfr, 0, ml_s)
             d_adv = full_adv - base_adv
             d_out = (ll_s + ml_fin) - base_out
-            pre_s = pre_s + jnp.where(s_gt, d_adv, 0)
-            pre_o = pre_o + jnp.where(s_gt, d_out, 0)
-            ll_v = jnp.where(s_eq, ll_s, ll_v)
-            ml_v = jnp.where(s_eq, ml_fin, ml_v)
-            adv_v = jnp.where(s_eq, full_adv, adv_v)
-            en_v = jnp.where(s_eq, en_s, en_v)
-            done = jnp.where(s_eq, 1, done)
+            for tp in range(NTP):
+                tokg = lanes + tp * 128
+                s_eq = (tokg == sidx) & hs
+                s_gt = (tokg > sidx) & hs
+                pre_s[tp] = pre_s[tp] + jnp.where(s_gt, d_adv, 0)
+                pre_o[tp] = pre_o[tp] + jnp.where(s_gt, d_out, 0)
+                ll_v[tp] = jnp.where(s_eq, ll_s, ll_v[tp])
+                ml_v[tp] = jnp.where(s_eq, ml_fin, ml_v[tp])
+                adv_v[tp] = jnp.where(s_eq, full_adv, adv_v[tp])
+                en_v[tp] = jnp.where(s_eq, en_s, en_v[tp])
+                done[tp] = jnp.where(s_eq, 1, done[tp])
             new_def = dfr & (sidx < defer_at)
             defer_at = jnp.where(new_def, sidx, defer_at)
             defer_lp2 = jnp.where(new_def, lp2, defer_lp2)
@@ -905,19 +1030,24 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             encs = list(encs)
 
             # tail pseudo-token: the literal-stream remainder
-            nvc = jnp.clip(nv, 0, 127)
+            nvc = jnp.clip(nv, 0, NTOK - 1)
             ll_tail = jnp.maximum(
-                lit_len - (lit_p + _at_lane(pre_s, nvc)), 0)
-            ll_v = jnp.where(is_tail, ll_tail, ll_v)
-            adv_v = jnp.where(is_tail, ll_tail, adv_v)
-            lsrc_v = lit_p + pre_s + en_v
+                lit_len - (lit_p + gat_tok(pre_s, nvc)), 0)
+            lsrc_v = []
+            for tp in range(NTP):
+                ll_v[tp] = jnp.where(is_tail[tp], ll_tail, ll_v[tp])
+                adv_v[tp] = jnp.where(is_tail[tp], ll_tail, adv_v[tp])
+                lsrc_v.append(lit_p + pre_s[tp] + en_v[tp])
 
             # per-token offsets
             if not liz:
-                OW = _funnel4(pfront, i * NT_P, lsrc_v + ll_v - fb_p, NT_P)
-                off_raw = (OW & 0xFFFF).astype(jnp.int32)
+                off_raw = []
+                for tp in range(NTP):
+                    OW = _funnel4(pfront, i * NT_P,
+                                  lsrc_v[tp] + ll_v[tp] - fb_p, NT_P)
+                    off_raw.append((OW & 0xFFFF).astype(jnp.int32))
             else:
-                u16, u24 = aux[3], aux[4]
+                u16, u24 = aux[0][3], aux[0][4]
                 p16rel = 2 * _prefix_excl(u16)
                 p24rel = 3 * _prefix_excl(u24)
                 O16 = _funnel4(o16back, i * NT_OB, p16 + p16rel,
@@ -928,30 +1058,39 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                     u16 != 0, (O16 & 0xFFFF).astype(jnp.int32),
                     jnp.where(u24 != 0,
                               (O24 & 0xFFFFFF).astype(jnp.int32), 0))
-                off_raw = _last_nonzero_scan(cand, last_off)
-            off_safe = jnp.maximum(off_raw, 1)
+                off_raw = [_last_nonzero_scan(cand, last_off)]
+            off_safe = [jnp.maximum(o, 1) for o in off_raw]
 
             # consumption boundary (binary search over output end points)
-            consum = ((is_tok & (lanes <= defer_at)) |
-                      (is_tail & (nv <= defer_at)))
-            oadv = jnp.where(consum, ll_v + ml_v, 0)
-            ends = Bq + _prefix_incl(oadv)
-            ends_eff = jnp.where(consum, ends, BIG)
-            starts = ends_eff - oadv
+            consum, oadv = [], []
+            for tp in range(NTP):
+                tokg = lanes + tp * 128
+                cs = ((is_tok[tp] & (tokg <= defer_at)) |
+                      (is_tail[tp] & (nv <= defer_at)))
+                consum.append(cs)
+                oadv.append(jnp.where(cs, ll_v[tp] + ml_v[tp], 0))
+            ends, ecar = [], jnp.zeros((8, 128), jnp.int32)
+            for tp in range(NTP):
+                inc = _prefix_incl(oadv[tp])
+                ends.append(Bq + ecar + inc)
+                ecar = ecar + _at_lane(inc, idx127)
+            ends_eff = [jnp.where(consum[tp], ends[tp], BIG)
+                        for tp in range(NTP)]
+            starts = [ends_eff[tp] - oadv[tp] for tp in range(NTP)]
             pe = B + BAND - 1
-            cnt = _search_count(ends_eff, jnp.full((8, 128), 1, jnp.int32)
-                                * pe, exact=True)
-            cntc = jnp.clip(cnt, 0, 127)
-            start_c = _at_lane(starts, cntc)
-            partial = (cnt < 128) & (start_c <= pe)
+            cnt = search_tok(ends_eff, jnp.full((8, 128), 1, jnp.int32)
+                             * pe, exact=True)
+            cntc = jnp.clip(cnt, 0, NTOK - 1)
+            start_c = gat_tok(starts, cntc)
+            partial = (cnt < NTOK) & (start_c <= pe)
             used = (B + BAND) - start_c
-            ll_c = _at_lane(ll_v, cntc)
-            ml_c = _at_lane(ml_v, cntc)
-            lsrc_c = _at_lane(lsrc_v, cntc)
-            off_c = _at_lane(off_safe, cntc)
-            adv_c = _at_lane(adv_v, cntc)
-            pre_c = _at_lane(pre_s, cntc)
-            tail_c = partial & (cntc == nvc) & (nv < 128)
+            ll_c = gat_tok(ll_v, cntc)
+            ml_c = gat_tok(ml_v, cntc)
+            lsrc_c = gat_tok(lsrc_v, cntc)
+            off_c = gat_tok(off_safe, cntc)
+            adv_c = gat_tok(adv_v, cntc)
+            pre_c = gat_tok(pre_s, cntc)
+            tail_c = partial & (cntc == nvc) & (nv < NTOK)
             defer_c = partial & (cntc == defer_at)
 
             # carry for the next pass/band
@@ -972,9 +1111,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             ncur_am = jnp.where(partial,
                                 jnp.where(defer_c, defer_am, 0), cur_am)
             # stream pointers advance past consumed tokens
-            tot_s = _at_lane(pre_s + adv_v, jnp.full((8, 128), 127,
-                                                     jnp.int32))
-            adv_full = jnp.where(cnt <= 127, pre_c, tot_s)
+            tot_s = _at_lane(pre_s[NTP - 1] + adv_v[NTP - 1], idx127)
+            adv_full = jnp.where(cnt <= NTOK - 1, pre_c, tot_s)
             nlit_p = lit_p + adv_full + \
                 jnp.where(partial,
                           jnp.where(defer_c, defer_lp2 - (lit_p + pre_c),
@@ -984,11 +1122,8 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             nalive = jnp.where(
                 tail_c | (cnt > nv), 0, alive)
             if liz:
-                u16, u24 = aux[3], aux[4]
-                tot16 = _at_lane(p16rel + 2 * u16,
-                                 jnp.full((8, 128), 127, jnp.int32))
-                tot24 = _at_lane(p24rel + 3 * u24,
-                                 jnp.full((8, 128), 127, jnp.int32))
+                tot16 = _at_lane(p16rel + 2 * u16, idx127)
+                tot24 = _at_lane(p24rel + 3 * u24, idx127)
                 u16_c = _at_lane(u16, cntc)
                 u24_c = _at_lane(u24, cntc)
                 np16 = p16 + jnp.where(cnt <= 127, _at_lane(p16rel, cntc),
@@ -1000,7 +1135,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 idx_last = cnt - 1 + partial.astype(jnp.int32)
                 nlast_off = jnp.where(
                     idx_last >= 0,
-                    _at_lane(off_raw, jnp.clip(idx_last, 0, 127)),
+                    _at_lane(off_raw[0], jnp.clip(idx_last, 0, 127)),
                     last_off)
 
             # fill progress
@@ -1008,8 +1143,9 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             X = jnp.where(
                 partial, B + BAND,
                 jnp.where(cnt >= 1,
-                          jnp.minimum(_at_lane(ends_eff,
-                                               jnp.clip(cnt - 1, 0, 127)),
+                          jnp.minimum(gat_tok(ends_eff,
+                                              jnp.clip(cnt - 1, 0,
+                                                       NTOK - 1)),
                                       B + BAND),
                           Xc))
             X = jnp.maximum(X, Xc)
@@ -1020,12 +1156,12 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
             tag = jnp.where(fill == 0, CARRY_BIT, 0)
             for j in range(NP):
                 p = B + j * 128 + lanes
-                idx = _search_count(ends_eff, p)
-                idxc = jnp.clip(idx, 0, 127)
-                st_t = jnp.take_along_axis(starts, idxc, axis=1)
-                ll_t = jnp.take_along_axis(ll_v, idxc, axis=1)
-                ls_t = jnp.take_along_axis(lsrc_v, idxc, axis=1)
-                of_t = jnp.take_along_axis(off_safe, idxc, axis=1)
+                idx = search_tok(ends_eff, p)
+                idxc = jnp.clip(idx, 0, NTOK - 1)
+                st_t = gat_tok(starts, idxc)
+                ll_t = gat_tok(ll_v, idxc)
+                ls_t = gat_tok(lsrc_v, idxc)
+                of_t = gat_tok(off_safe, idxc)
                 q = jnp.clip(p - st_t, 0, 1 << 17)
                 il_b = q < ll_t
                 enc_l = ls_t + q
@@ -1077,24 +1213,27 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
                 c = None
                 for i in range(il):
                     (pre_s, pre_o, _, _, _, _, done, defer_at, _, _) = \
-                        ff[i * NFIX:(i + 1) * NFIX]
+                        fix_unflatten(ff[i * NFIX:(i + 1) * NFIX])
                     _, _, Bq, nonsimple, _, _, _ = invs[i]
-                    pm = (nonsimple != 0) & (done == 0) & \
-                        (Bq + pre_o < B + BAND) & (lanes < defer_at)
-                    v = jnp.any(pm)
-                    c = v if c is None else (c | v)
+                    for tp in range(NTP):
+                        tokg = lanes + tp * 128
+                        pm = (nonsimple[tp] != 0) & (done[tp] == 0) & \
+                            (Bq + pre_o[tp] < B + BAND) & (tokg < defer_at)
+                        v = jnp.any(pm)
+                        c = v if c is None else (c | v)
                 return c
 
             def f_body(ff):
                 out = []
                 for i in range(il):
-                    out.extend(fix_body_one(
-                        i, B, ff[i * NFIX:(i + 1) * NFIX], invs[i]))
+                    out.extend(fix_flatten(fix_body_one(
+                        i, B, fix_unflatten(ff[i * NFIX:(i + 1) * NFIX]),
+                        invs[i])))
                 return tuple(out)
 
             fflat = tuple()
             for f in fixes:
-                fflat = fflat + tuple(f)
+                fflat = fflat + fix_flatten(f)
             if _ABL != "skipfix":
                 # pay the first _FIXU fixup steps as masked straight-line
                 # vector work (f_body is a no-op on groups with nothing
@@ -1109,7 +1248,7 @@ def _lane_kernel(C, T, spb, rtiles, groups, il, family,
 
             out = []
             for i in range(il):
-                fix = fflat[i * NFIX:(i + 1) * NFIX]
+                fix = fix_unflatten(fflat[i * NFIX:(i + 1) * NFIX])
                 encs = list(sts[i][9:9 + NP]) + \
                     (list(sts[i][9 + NP:9 + NP + 3]) if liz else [])
                 out.extend(scan_C(i, ctxs[i], B, fix, invs[i], carrys[i],
@@ -1404,6 +1543,10 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, family=0,
     nstr = 5 if liz else 3
     ob = NT_OB if liz else 1
     of = NT_O if liz else 1
+    # per-family front-window tile counts (must match the kernel's locals)
+    nt_p = NT_P_F1 if liz else NT_P_F0
+    nt_c = NT_C_F1 if liz else NT_C_F0
+    nt_ff = NT_FF_F1 if liz else NT_FF_F0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(groups // il,),
@@ -1417,11 +1560,11 @@ def _lane_call(pool, meta, C, T, spb, rtiles, groups, il=1, family=0,
             pltpu.VMEM((il * NT_F * 8, 128), jnp.int32),
             pltpu.VMEM((il * ob * 8, 128), jnp.int32),
             pltpu.VMEM((il * ob * 8, 128), jnp.int32),
-            pltpu.VMEM((il * NT_P * 8, 128), jnp.int32),
-            pltpu.VMEM((il * NT_C * 8, 128), jnp.int32),
+            pltpu.VMEM((il * nt_p * 8, 128), jnp.int32),
+            pltpu.VMEM((il * nt_c * 8, 128), jnp.int32),
             pltpu.VMEM((il * of * 8, 128), jnp.int32),
             pltpu.VMEM((il * of * 8, 128), jnp.int32),
-            pltpu.VMEM((il * NT_FF * 8, 128), jnp.int32),
+            pltpu.VMEM((il * nt_ff * 8, 128), jnp.int32),
             pltpu.VMEM((il * 2 * nstr * 8, 128), jnp.int32),
             pltpu.VMEM((il * 8, 128), jnp.int32),
             pltpu.VMEM((il * (NFENT if liz else 1) * 8, 128), jnp.int32),

@@ -1784,37 +1784,1035 @@ inline void write_block_n(std::vector<uint8_t>& out, const uint8_t* src,
   }
 }
 
+
+// ---------------------------------------------------------------------
+// Faithful C++ port of this repo's own bit-exact parser oracle
+// (lizard_tpu/ref/parsers.py, itself written against the reference's
+// lib/lizard_parser_{nochain,hashchain,fastbig,pricefast,lowestprice}.h
+// decisions): same candidate order, same tie-breaks, same lazy-overlap
+// arbitration, so the PARSE equals the reference parse and the ratios
+// match the reference per level. The emitted streams still go through
+// this file's emit helpers (valid streams; byte-identity is the Python
+// oracle's job).
+
+namespace refparse {
+
+constexpr uint64_t kDict = 1ull << 24;   // LIZARD_DICT_SIZE index offset
+constexpr int64_t kMinMatch = 4;
+constexpr int64_t kMfLimit = 20;         // WILDCOPYLENGTH + MINMATCH
+constexpr int64_t kLastLit = 16;
+constexpr int64_t kOptimalMl = 18;       // 15 - 1 + MINMATCH
+constexpr uint32_t kMax16 = 1u << 16;
+constexpr uint64_t kMaxPrice = 1ull << 28;
+constexpr int kSkipTrigger = 6;
+
+inline uint32_t h4(uint32_t v, int h) {
+  return (uint32_t)(((uint64_t)v * 2654435761u & 0xFFFFFFFFu) >> (32 - h));
+}
+inline uint32_t h5(uint64_t v, int h) {
+  return (uint32_t)((v * 889523592379ull << 24) >> (64 - h));
+}
+inline uint32_t h6(uint64_t v, int h) {
+  return (uint32_t)((v * 227718039650203ull << 16) >> (64 - h));
+}
+
+struct PCtx {
+  std::vector<uint32_t> hash;    // head = position + kDict; 0 = empty
+  std::vector<uint32_t> chain;   // delta ring, 1<<content_log entries
+  uint64_t next_to_update = kDict;
+  int hash_log = 0, content_log = 0, window_log = 0;
+  int search_num = 0, search_length = 4;
+  int64_t mm_long = 0, sufficient = 0;
+  bool huff = false;             // price-penalty constants (levels >= 30)
+  const uint8_t* src = nullptr;
+  int64_t n = 0;
+
+  inline uint32_t hpos(int64_t i) const {
+    if (search_length == 5) return h5(rd64(src + i), hash_log);
+    if (search_length == 6) return h6(rd64(src + i), hash_log);
+    return h4(rd32(src + i), hash_log);
+  }
+  inline int64_t low_limit(int64_t pos) const {
+    uint64_t maxd = (1ull << window_log) - 1;
+    uint64_t cur = (uint64_t)pos + kDict;
+    return (kDict + maxd >= cur) ? (int64_t)kDict : (int64_t)(cur - maxd);
+  }
+  void insert(int64_t target_pos) {
+    uint64_t target = (uint64_t)target_pos + kDict;
+    uint32_t mask = (1u << content_log) - 1;
+    uint64_t maxd = (1ull << window_log) - 1;
+    while (next_to_update < target) {
+      uint64_t idx = next_to_update;
+      uint32_t h = hpos((int64_t)(idx - kDict));
+      uint64_t delta = idx - hash[h];
+      if (delta > maxd) delta = maxd;
+      chain[idx & mask] = (uint32_t)delta;
+      if (hash[h] >= idx || idx >= (uint64_t)hash[h] + 8)
+        hash[h] = (uint32_t)idx;
+      ++next_to_update;
+    }
+  }
+};
+
+// Lizard_count: equal run of src[i..] vs src[j..], j capped at limit
+inline int64_t count_eq(const uint8_t* src, int64_t i, int64_t j,
+                        int64_t limit) {
+  return (int64_t)match_fwd(src, (size_t)i, (size_t)j, (size_t)limit);
+}
+
+// ---- hashChain search (lizard_parser_hashchain.h:45-185) ----
+
+inline int64_t find_best_hc(PCtx& c, int64_t ip, int64_t ilimit,
+                            int64_t& ref) {
+  c.insert(ip);
+  uint32_t mask = (1u << c.content_log) - 1;
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  uint64_t mi = c.hash[c.hpos(ip)];
+  int attempts = c.search_num;
+  int64_t ml = 0;
+  ref = -1;
+  uint32_t v = rd32(c.src + ip);
+  while (mi < cur && mi >= (uint64_t)low && attempts) {
+    --attempts;
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 && c.src[m + ml] == c.src[ip + ml] &&
+        rd32(c.src + m) == v) {
+      int64_t mlt =
+          count_eq(c.src, m + kMinMatch, ip + kMinMatch, ilimit) + kMinMatch;
+      if (mlt > ml) {
+        ml = mlt;
+        ref = m;
+      }
+    }
+    uint32_t delta = c.chain[mi & mask];
+    if ((uint64_t)delta > mi) break;
+    mi -= delta;
+  }
+  return ml;
+}
+
+inline int64_t wider_hc(PCtx& c, int64_t ip, int64_t ilow, int64_t ihigh,
+                        int64_t longest, int64_t& ref, int64_t& start) {
+  c.insert(ip);
+  uint32_t mask = (1u << c.content_log) - 1;
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  int64_t ll_delta = ip - ilow;
+  uint64_t mi = c.hash[c.hpos(ip)];
+  int attempts = c.search_num;
+  ref = -1;
+  start = -1;
+  uint32_t v = rd32(c.src + ip);
+  while (mi < cur && mi >= (uint64_t)low && attempts) {
+    --attempts;
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 &&
+        c.src[ilow + longest] == c.src[m - ll_delta + longest] &&
+        rd32(c.src + m) == v) {
+      int64_t mlt =
+          kMinMatch + count_eq(c.src, m + kMinMatch, ip + kMinMatch, ihigh);
+      int64_t back = 0;
+      while (ip + back > ilow && m + back > 0 &&
+             c.src[ip + back - 1] == c.src[m + back - 1])
+        --back;
+      mlt -= back;
+      if (mlt > longest) {
+        longest = mlt;
+        ref = m + back;
+        start = ip + back;
+      }
+    }
+    uint32_t delta = c.chain[mi & mask];
+    if ((uint64_t)delta > mi) break;
+    mi -= delta;
+  }
+  return longest;
+}
+
+// ---- noChain search (lizard_parser_nochain.h) ----
+
+inline void insert_nc(PCtx& c, int64_t target_pos) {
+  uint64_t target = (uint64_t)target_pos + kDict;
+  while (c.next_to_update < target) {
+    uint64_t idx = c.next_to_update;
+    uint32_t h = h5(rd64(c.src + (int64_t)(idx - kDict)), c.hash_log);
+    if (c.hash[h] >= idx || idx >= (uint64_t)c.hash[h] + 8)
+      c.hash[h] = (uint32_t)idx;
+    ++c.next_to_update;
+  }
+}
+
+inline int64_t find_best_nc(PCtx& c, int64_t ip, int64_t ilimit,
+                            int64_t& ref) {
+  insert_nc(c, ip);
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  uint64_t mi = c.hash[h5(rd64(c.src + ip), c.hash_log)];
+  ref = -1;
+  if (mi < cur && mi >= (uint64_t)low) {
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 && c.src[m] == c.src[ip] &&
+        rd32(c.src + m) == rd32(c.src + ip)) {
+      ref = m;
+      return count_eq(c.src, m + kMinMatch, ip + kMinMatch, ilimit) +
+             kMinMatch;
+    }
+  }
+  return 0;
+}
+
+inline int64_t wider_nc(PCtx& c, int64_t ip, int64_t ilow, int64_t ihigh,
+                        int64_t longest, int64_t& ref, int64_t& start) {
+  insert_nc(c, ip);
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  int64_t ll_delta = ip - ilow;
+  uint64_t mi = c.hash[h5(rd64(c.src + ip), c.hash_log)];
+  ref = -1;
+  start = -1;
+  if (mi < cur && mi >= (uint64_t)low) {
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 &&
+        c.src[ilow + longest] == c.src[m - ll_delta + longest] &&
+        rd32(c.src + m) == rd32(c.src + ip)) {
+      int64_t mlt =
+          kMinMatch + count_eq(c.src, m + kMinMatch, ip + kMinMatch, ihigh);
+      int64_t back = 0;
+      while (ip + back > ilow && m + back > 0 &&
+             c.src[ip + back - 1] == c.src[m + back - 1])
+        --back;
+      mlt -= back;
+      if (mlt > longest) {
+        longest = mlt;
+        ref = m + back;
+        start = ip + back;
+      }
+    }
+  }
+  return longest;
+}
+
+// ---- shared LZ4 lazy-overlap driver (ref/parsers.py _parse_lazy_lz4,
+// i.e. lizard_parser_nochain.h:143-318 / _hashchain.h:188-369) ----
+
+template <typename FindBest, typename GetWider>
+void parse_lazy_lz4(PCtx& c, int64_t start_pos, int64_t end, EncAcc& acc,
+                    FindBest find_best, GetWider get_wider,
+                    bool hc_fit_check, int64_t* anchor_io) {
+  const uint8_t* src = c.src;
+  int64_t anchor = *anchor_io;
+  int64_t mflimit = end - kMfLimit;
+  int64_t matchlimit = end - kLastLit;
+  int64_t ip = start_pos + 1;
+
+  auto emit = [&](int64_t& at, int64_t ml, int64_t ref) {
+    int64_t ll = at - anchor;
+    uint32_t off = (uint32_t)(at - ref);
+    uint32_t mlx = (uint32_t)ml - 4;
+    acc.flags.push_back((uint8_t)(((mlx < 15 ? mlx : 15) << 4) |
+                                  (ll < 15 ? (uint8_t)ll : 15)));
+    if (ll >= 15) put_ext(acc.lits, (uint32_t)(ll - 15));
+    acc.lits.insert(acc.lits.end(), src + anchor, src + anchor + ll);
+    acc.lits.push_back((uint8_t)off);
+    acc.lits.push_back((uint8_t)(off >> 8));
+    if (mlx >= 15) put_ext(acc.lits, mlx - 15);
+    at += ml;
+    anchor = at;
+  };
+
+  while (ip < mflimit) {
+    int64_t ref;
+    int64_t ml = find_best(c, ip, matchlimit, ref);
+    if (!ml) {
+      ++ip;
+      continue;
+    }
+    int64_t start0 = ip, ref0 = ref, ml0 = ml;
+    int64_t ml2 = 0, ref2 = -1, start2 = -1;
+    int64_t ml3 = 0, ref3 = -1, start3 = -1;
+
+  _search2:
+    if (ip + ml < mflimit)
+      ml2 = get_wider(c, ip + ml - 2, ip + 1, matchlimit, ml, ref2, start2);
+    else
+      ml2 = ml;
+    if (ml2 == ml) {
+      emit(ip, ml, ref);
+      continue;
+    }
+    if (start0 < ip && start2 < ip + ml0) {
+      ip = start0;
+      ref = ref0;
+      ml = ml0;
+    }
+    if (start2 - ip < 3) {
+      ml = ml2;
+      ip = start2;
+      ref = ref2;
+      goto _search2;
+    }
+
+  _search3:
+    if (start2 - ip < kOptimalMl) {
+      int64_t new_ml = ml < kOptimalMl ? ml : kOptimalMl;
+      if (ip + new_ml > start2 + ml2 - kMinMatch) {
+        new_ml = (start2 - ip) + ml2 - kMinMatch;
+        if (hc_fit_check && new_ml < kMinMatch) {
+          emit(ip, ml, ref);
+          continue;
+        }
+      }
+      int64_t correction = new_ml - (start2 - ip);
+      if (correction > 0) {
+        start2 += correction;
+        ref2 += correction;
+        ml2 -= correction;
+      }
+    }
+    if (start2 + ml2 < mflimit)
+      ml3 = get_wider(c, start2 + ml2 - 3, start2, matchlimit, ml2, ref3,
+                      start3);
+    else
+      ml3 = ml2;
+    if (ml3 == ml2) {
+      if (start2 < ip + ml) ml = start2 - ip;
+      emit(ip, ml, ref);
+      ip = start2;
+      emit(ip, ml2, ref2);
+      continue;
+    }
+    if (start3 < ip + ml + 3) {
+      if (start3 >= ip + ml) {
+        if (start2 < ip + ml) {
+          int64_t correction = ip + ml - start2;
+          start2 += correction;
+          ref2 += correction;
+          ml2 -= correction;
+          if (ml2 < kMinMatch) {
+            start2 = start3;
+            ref2 = ref3;
+            ml2 = ml3;
+          }
+        }
+        emit(ip, ml, ref);
+        ip = start3;
+        ref = ref3;
+        ml = ml3;
+        start0 = start2;
+        ref0 = ref2;
+        ml0 = ml2;
+        goto _search2;
+      }
+      start2 = start3;
+      ref2 = ref3;
+      ml2 = ml3;
+      goto _search3;
+    }
+    // 3 ascending matches
+    if (start2 < ip + ml) {
+      if (start2 - ip < 15) {
+        if (ml > kOptimalMl) ml = kOptimalMl;
+        if (ip + ml > start2 + ml2 - kMinMatch) {
+          ml = (start2 - ip) + ml2 - kMinMatch;
+          if (ml < kMinMatch) {
+            emit(ip, ml, ref);
+            ip = start3;
+            ref = ref3;
+            ml = ml3;
+            start0 = start2;
+            ref0 = ref2;
+            ml0 = ml2;
+            goto _search2;
+          }
+        }
+        int64_t correction = ml - (start2 - ip);
+        if (correction > 0) {
+          start2 += correction;
+          ref2 += correction;
+          ml2 -= correction;
+        }
+      } else {
+        ml = start2 - ip;
+      }
+    }
+    emit(ip, ml, ref);
+    ip = start2;
+    ref = ref2;
+    ml = ml2;
+    start2 = start3;
+    ref2 = ref3;
+    ml2 = ml3;
+    goto _search3;
+  }
+  *anchor_io = anchor;
+}
+
+// ---- LIZv1 price model (ref/price.py get_price_liz, simple/non-adaptive
+// path -- the one lowestPrice always uses) ----
+
+inline uint64_t ext_price(uint64_t length) {
+  if (length >= 65536) return 32;
+  if (length >= 254) return 24;
+  return 8;
+}
+
+inline int highbit32(uint32_t v) { return v ? 31 - __builtin_clz(v) : -1; }
+
+inline uint64_t price_liz(const PCtx& c, uint64_t lit_length, uint32_t offset,
+                          int64_t match_length) {
+  uint64_t price = 8 * lit_length;   // wraps mod 2^64 like size_t
+  if (lit_length > 0 || offset < kMax16) {
+    if (lit_length >= 7) price += ext_price(lit_length - 7);
+    if (offset >= kMax16) price += 8;
+  }
+  if (offset >= kMax16) {
+    if (match_length < c.mm_long) return kMaxPrice;
+    if (match_length - c.mm_long >= 31)
+      price += ext_price((uint64_t)(match_length - c.mm_long - 31));
+    price += 24;
+  } else {
+    if (offset != 0) {
+      if (offset < 8) return kMaxPrice;
+      if (match_length < kMinMatch) return kMaxPrice;
+      price += 16;
+    }
+    if (match_length >= 15) price += ext_price((uint64_t)(match_length - 15));
+  }
+  if (offset > 0 || match_length > 0) {
+    int ol = highbit32(offset);
+    if (c.huff) {
+      price += (ol >= 20) ? (uint64_t)(ol - 19) * 4 : 0;
+      price += 4 + (match_length == 1 ? 1 : 0);
+    } else {
+      price += (ol >= 16) ? (uint64_t)(ol - 15) * 4 : 0;
+      price += 6 + (match_length == 1 ? 1 : 0);
+    }
+    price += 8;
+  }
+  return price;
+}
+
+// Lizard_better_price / Lizard_more_profitable
+// (lizard_parser_lowestprice.h:4-26)
+inline bool better_price(const PCtx& c, uint32_t best_off, int64_t best_common,
+                         uint32_t off, int64_t common, uint32_t last_off) {
+  if (off == last_off) off = 0;
+  if (best_off == last_off) best_off = 0;
+  return price_liz(c, 0, off, common) <
+         price_liz(c, (uint64_t)(common - best_common), best_off, best_common);
+}
+
+inline bool more_profitable(const PCtx& c, uint32_t best_off,
+                            int64_t best_common, uint32_t off, int64_t common,
+                            int64_t literals, uint32_t last_off) {
+  uint64_t lit = (uint64_t)literals;   // size_t wrap semantics
+  uint64_t s;
+  if ((int64_t)lit > 0)
+    s = (uint64_t)std::max<int64_t>((int64_t)(common + (int64_t)lit),
+                                    best_common);
+  else
+    s = (uint64_t)std::max<int64_t>(common, best_common);
+  if (off == last_off) off = 0;
+  if (best_off == last_off) best_off = 0;
+  return price_liz(c, s - (uint64_t)common, off, common) <=
+         price_liz(c, s - (uint64_t)best_common, best_off, best_common);
+}
+
+// ---- lowestPrice search (lizard_parser_lowestprice.h:29-251) ----
+
+inline int64_t find_match_lp(PCtx& c, uint32_t last_off, int64_t ip,
+                             int64_t ilimit, int64_t& ref, bool& is_rep) {
+  uint32_t mask = (1u << c.content_log) - 1;
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  uint64_t mi = c.hash[c.hpos(ip)];
+  is_rep = false;
+  ref = -1;
+
+  if (last_off >= 8) {
+    int64_t ilo = (int64_t)(cur - last_off);
+    if (ilo >= low) {
+      int64_t m = ilo - (int64_t)kDict;
+      int64_t mlt = count_eq(c.src, m, ip, ilimit);
+      if (mlt > 1) {   // REPMINMATCH
+        ref = m;
+        is_rep = true;
+        return mlt;
+      }
+    }
+  }
+  int attempts = c.search_num;
+  int64_t ml = 0;
+  uint32_t v = rd32(c.src + ip);
+  while (mi < cur && mi >= (uint64_t)low && attempts) {
+    --attempts;
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 && c.src[m + ml] == c.src[ip + ml] &&
+        rd32(c.src + m) == v) {
+      int64_t mlt =
+          count_eq(c.src, m + kMinMatch, ip + kMinMatch, ilimit) + kMinMatch;
+      if (mlt >= c.mm_long || ip - m < (int64_t)kMax16) {
+        if (!ml || (mlt > ml &&
+                    better_price(c, (uint32_t)(ip - ref), ml,
+                                 (uint32_t)(ip - m), mlt, last_off))) {
+          ml = mlt;
+          ref = m;
+        }
+      }
+    }
+    mi -= c.chain[mi & mask];
+  }
+  return ml;
+}
+
+inline int64_t wider_lp(PCtx& c, uint32_t last_off, int64_t ip, int64_t ilow,
+                        int64_t ihigh, int64_t longest, int64_t& ref,
+                        int64_t& start) {
+  uint32_t mask = (1u << c.content_log) - 1;
+  int64_t low = c.low_limit(ip);
+  uint64_t cur = (uint64_t)ip + kDict;
+  uint64_t mi = c.hash[c.hpos(ip)];
+  ref = -1;
+  start = -1;
+
+  if (last_off >= 8) {
+    int64_t ilo = (int64_t)(cur - last_off);
+    if (ilo >= low) {
+      int64_t m = ilo - (int64_t)kDict;
+      if (rd32(c.src + m) == rd32(c.src + ip)) {
+        int64_t back = 0;
+        int64_t mlt =
+            count_eq(c.src, m + kMinMatch, ip + kMinMatch, ihigh) + kMinMatch;
+        while (ip + back > ilow && m + back > 0 &&
+               c.src[ip + back - 1] == c.src[m + back - 1])
+          --back;
+        mlt -= back;
+        if (mlt > longest &&
+            (mlt >= c.mm_long || last_off < kMax16)) {
+          longest = mlt;
+          ref = m + back;
+          start = ip + back;
+        }
+      }
+    }
+  }
+  int attempts = c.search_num;
+  uint32_t v = rd32(c.src + ip);
+  while (mi < cur && mi >= (uint64_t)low && attempts) {
+    --attempts;
+    int64_t m = (int64_t)(mi - kDict);
+    if (ip - m >= 8 && rd32(c.src + m) == v) {
+      int64_t back = 0;
+      int64_t mlt =
+          count_eq(c.src, m + kMinMatch, ip + kMinMatch, ihigh) + kMinMatch;
+      while (ip + back > ilow && m + back > 0 &&
+             c.src[ip + back - 1] == c.src[m + back - 1])
+        --back;
+      mlt -= back;
+      if (mlt >= c.mm_long || ip - m < (int64_t)kMax16) {
+        if (!longest ||
+            (mlt > longest &&
+             better_price(c, (uint32_t)(start - ref), longest,
+                          (uint32_t)(ip - m), mlt, last_off))) {
+          longest = mlt;
+          ref = m + back;
+          start = ip + back;
+        }
+      }
+    }
+    mi -= c.chain[mi & mask];
+  }
+  return longest;
+}
+
+// ---- drivers ----
+
+// lowestPrice (lizard_parser_lowestprice.h:256-375); LizAcc carries
+// last_off across emits exactly like ctx->last_off
+void parse_lowestprice(PCtx& c, int64_t start_pos, int64_t end, LizAcc& a) {
+  const uint8_t* src = c.src;
+  int64_t anchor = start_pos;
+  int64_t mflimit = end - kMfLimit;
+  int64_t matchlimit = end - kLastLit;
+  int64_t ip = start_pos;
+
+  auto emit = [&](int64_t& at, int64_t ml, int64_t ref) {
+    uint32_t off = (at - ref == (int64_t)a.last_off) ? 0 : (uint32_t)(at - ref);
+    emit_seq_liz(src, (size_t)anchor, (size_t)at, (size_t)ml, off, a);
+    at += ml;
+    anchor = at;
+  };
+
+  while (ip < mflimit) {
+    c.insert(ip);
+    bool is_rep;
+    int64_t ref;
+    int64_t ml = find_match_lp(c, a.last_off, ip, matchlimit, ref, is_rep);
+    if (!ml) {
+      ++ip;
+      continue;
+    }
+    int64_t back = 0;
+    while (ip + back > anchor && ref + back > 0 &&
+           src[ip + back - 1] == src[ref + back - 1])
+      --back;
+    ml -= back;
+    ip += back;
+    ref += back;
+
+    int64_t start0 = ip, ref0 = ref, ml0 = ml;
+
+  _search:
+    if (ip + ml < mflimit && ml < c.sufficient) {
+      c.insert(ip);
+      int64_t ml2, ref2, start2;
+      ml2 = wider_lp(c, a.last_off, ip + ml - 2, anchor, matchlimit, 0, ref2,
+                     start2);
+      if (ml2) {
+        // lowest-price split point (lizard_parser_lowestprice.h:304-342)
+        int64_t best_pos = ip;
+        uint64_t best_price = kMaxPrice;
+        uint32_t off0 = (uint32_t)(ip - ref);
+        uint32_t off1 = (uint32_t)(start2 - ref2);
+        int64_t pos = ip + ml;
+        while (pos >= start2) {
+          int64_t common0 = pos - ip;
+          if (common0 >= kMinMatch) {
+            uint64_t price = price_liz(
+                c, (uint64_t)(ip - anchor),
+                off0 == a.last_off ? 0 : off0, common0);
+            int64_t common1 = start2 + ml2 - pos;
+            if (common1 >= kMinMatch)
+              price += price_liz(c, 0, off1 == off0 ? 0 : off1, common1);
+            else
+              price += price_liz(c, (uint64_t)common1, 0, 0);
+            if (price < best_price) {
+              best_price = price;
+              best_pos = pos;
+            }
+          } else {
+            uint64_t price = price_liz(
+                c, (uint64_t)(start2 - anchor),
+                off1 == a.last_off ? 0 : off1, ml2);
+            if (price < best_price) best_pos = pos;
+            break;
+          }
+          --pos;
+        }
+        ml = best_pos - ip;
+        if (ml < kMinMatch ||
+            (ml < c.mm_long && ip - ref >= (int64_t)kMax16)) {
+          ip = start2;
+          ref = ref2;
+          ml = ml2;
+          goto _search;
+        }
+      }
+    }
+    // encode
+    if (start0 < ip) {
+      if (more_profitable(c, (uint32_t)(ip - ref), ml,
+                          (uint32_t)(start0 - ref0), ml0, ref0 - ref,
+                          a.last_off)) {
+        ip = start0;
+        ref = ref0;
+        ml = ml0;
+      }
+    }
+    emit(ip, ml, ref);
+  }
+  a.lits.insert(a.lits.end(), src + anchor, src + end);
+}
+
+// priceFast (lizard_parser_pricefast.h:132-249)
+void parse_pricefast(PCtx& c, int64_t start_pos, int64_t end, LizAcc& a) {
+  const uint8_t* src = c.src;
+  int64_t anchor = start_pos;
+  int64_t mflimit = end - kMfLimit;
+  int64_t matchlimit = end - kLastLit;
+  int64_t ip = start_pos + 1;
+
+  auto head_update = [&](uint32_t h, int64_t pos) {
+    uint64_t cur = (uint64_t)pos + kDict;
+    if (c.hash[h] >= cur || cur >= (uint64_t)c.hash[h] + 8)
+      c.hash[h] = (uint32_t)cur;
+  };
+  // Lizard_FindMatchFast: rep probe then single head candidate
+  auto find_fast = [&](uint64_t head, int64_t at, int64_t& ref,
+                       bool& is_rep) -> int64_t {
+    uint64_t maxd = (1ull << c.window_log) - 1;
+    uint64_t cur = (uint64_t)at + kDict;
+    uint64_t low = (kDict + maxd >= cur) ? kDict : cur - maxd;
+    is_rep = false;
+    ref = -1;
+    if (a.last_off >= 8) {
+      uint64_t ilo = cur - a.last_off;
+      if (ilo >= low) {
+        int64_t m = (int64_t)(ilo - kDict);
+        if (rd32(src + m) == rd32(src + at)) {
+          ref = m;
+          is_rep = true;
+          return count_eq(src, m + kMinMatch, at + kMinMatch, matchlimit) +
+                 kMinMatch;
+        }
+      }
+    }
+    if (head < cur && head >= low) {
+      int64_t m = (int64_t)(head - kDict);
+      if (at - m >= 8 && rd32(src + m) == rd32(src + at)) {
+        int64_t mlt =
+            count_eq(src, m + kMinMatch, at + kMinMatch, matchlimit) +
+            kMinMatch;
+        if (mlt >= c.mm_long || at - m < (int64_t)kMax16) {
+          ref = m;
+          return mlt;
+        }
+      }
+    }
+    return 0;
+  };
+  auto find_faster = [&](uint64_t head, int64_t at, int64_t& ref) -> int64_t {
+    uint64_t maxd = (1ull << c.window_log) - 1;
+    uint64_t cur = (uint64_t)at + kDict;
+    uint64_t low = (kDict + maxd >= cur) ? kDict : cur - maxd;
+    ref = -1;
+    if (head < cur && head >= low) {
+      int64_t m = (int64_t)(head - kDict);
+      if (at - m >= 8 && rd32(src + m) == rd32(src + at)) {
+        int64_t mlt =
+            count_eq(src, m + kMinMatch, at + kMinMatch, matchlimit) +
+            kMinMatch;
+        if (mlt >= c.mm_long || at - m < (int64_t)kMax16) {
+          ref = m;
+          return mlt;
+        }
+      }
+    }
+    return 0;
+  };
+  auto emit = [&](int64_t& at, int64_t ml, int64_t ref, bool rep) {
+    uint32_t off = rep ? 0 : (uint32_t)(at - ref);
+    emit_seq_liz(src, (size_t)anchor, (size_t)at, (size_t)ml, off, a);
+    at += ml;
+    anchor = at;
+  };
+
+  while (ip < mflimit) {
+    uint32_t h = c.hpos(ip);
+    int64_t ref;
+    bool is_rep;
+    int64_t ml = find_fast(c.hash[h], ip, ref, is_rep);
+    head_update(h, ip);
+    if (!ml) {
+      ++ip;
+      continue;
+    }
+    int64_t ml2 = 0, start2 = -1, ref2 = -1;
+    if (!is_rep && ip - ref == (int64_t)a.last_off) is_rep = true;
+    if (!is_rep) {
+      int64_t back = 0;
+      while (ip + back > anchor && ref + back > 0 &&
+             src[ip + back - 1] == src[ref + back - 1])
+        --back;
+      ml -= back;
+      ip += back;
+      ref += back;
+      goto _search;
+    }
+    emit(ip, ml, ref, true);
+    continue;
+
+  _search:
+    if (ip + ml < mflimit) {
+      start2 = ip + ml - 2;
+      uint32_t h2 = c.hpos(start2);
+      ml2 = find_faster(c.hash[h2], start2, ref2);
+      head_update(h2, start2);
+      if (ml2) {
+        int64_t back = 0;
+        while (start2 + back > ip && ref2 + back > 0 &&
+               src[start2 + back - 1] == src[ref2 + back - 1])
+          --back;
+        ml2 -= back;
+        start2 += back;
+        ref2 += back;
+        if (ml2 <= ml) {
+          ml2 = 0;
+        } else if (start2 <= ip) {
+          ip = start2;
+          ref = ref2;
+          ml = ml2;
+          ml2 = 0;
+        } else if (start2 - ip < 3) {
+          ip = start2;
+          ref = ref2;
+          ml = ml2;
+          ml2 = 0;
+          goto _search;
+        } else {
+          if (start2 < ip + ml) {
+            int64_t correction = ml - (start2 - ip);
+            start2 += correction;
+            ref2 += correction;
+            ml2 -= correction;
+            if (ml2 < 3) ml2 = 0;
+            if (ml2 && ml2 < c.mm_long &&
+                start2 - ref2 >= (int64_t)kMax16)
+              ml2 = 0;
+          }
+        }
+      }
+    }
+    // post-search encodes always carry the real offset (the oracle's
+    // parse_pricefast converts to rep only before the search)
+    emit(ip, ml, ref, false);
+    if (ml2) {
+      ip = start2;
+      ref = ref2;
+      ml = ml2;
+      ml2 = 0;
+      goto _search;
+    }
+  }
+  a.lits.insert(a.lits.end(), src + anchor, src + end);
+}
+
+// fastBig (lizard_parser_fastbig.h:35-175)
+void parse_fastbig(PCtx& c, int64_t start_pos, int64_t end, LizAcc& a) {
+  const uint8_t* src = c.src;
+  uint64_t maxd = (1ull << c.window_log) - 1;
+  int64_t mflimit = end - kMfLimit;
+  int64_t matchlimit = end - kLastLit;
+  int64_t anchor = start_pos;
+  int64_t ip = start_pos;
+  constexpr int64_t kMmLongBig = 16;
+
+  auto emit = [&](int64_t& at, int64_t ml, int64_t ref) {
+    emit_seq_liz(src, (size_t)anchor, (size_t)at, (size_t)ml,
+                 (uint32_t)(at - ref), a);
+    at += ml;
+    anchor = at;
+  };
+  auto h_at = [&](int64_t i) { return h5(rd64(src + i), c.hash_log); };
+  auto low_for = [&](int64_t at) -> uint64_t {
+    uint64_t cur = (uint64_t)at + kDict;
+    return (kDict + maxd >= cur) ? kDict : cur - maxd;
+  };
+
+  if (end - start_pos < 21) {   // LIZARD_MIN_LENGTH
+    a.lits.insert(a.lits.end(), src + anchor, src + end);
+    return;
+  }
+  uint64_t low_limit = low_for(start_pos);
+  c.hash[h_at(ip)] = (uint32_t)((uint64_t)ip + kDict);
+  ++ip;
+  uint32_t forward_h = h_at(ip);
+
+  for (;;) {
+    int64_t forward_ip = ip;
+    int64_t step = 1;
+    int64_t search_match_nb = 1 << kSkipTrigger;
+    int64_t m;
+    int64_t match_length;
+    for (;;) {
+      uint32_t h = forward_h;
+      ip = forward_ip;
+      forward_ip += step;
+      step = search_match_nb >> kSkipTrigger;
+      ++search_match_nb;
+      if (forward_ip > mflimit) {
+        a.lits.insert(a.lits.end(), src + anchor, src + end);
+        return;
+      }
+      uint64_t match_index = c.hash[h];
+      forward_h = h_at(forward_ip);
+      c.hash[h] = (uint32_t)((uint64_t)ip + kDict);
+      if (match_index < low_limit ||
+          match_index >= (uint64_t)ip + kDict ||
+          match_index + maxd < (uint64_t)ip + kDict)
+        continue;
+      m = (int64_t)(match_index - kDict);
+      if (ip - m >= 8 && rd32(src + m) == rd32(src + ip)) {
+        int64_t back = 0;
+        match_length = count_eq(src, m + kMinMatch, ip + kMinMatch,
+                                matchlimit);   // cap at the CURRENT side
+        while (ip + back > anchor && m + back > 0 &&
+               src[ip + back - 1] == src[m + back - 1])
+          --back;
+        match_length -= back;
+        if (match_length >= kMmLongBig || ip - m < (int64_t)kMax16) {
+          ip += back;
+          m += back;
+          break;
+        }
+      }
+    }
+
+    for (;;) {
+      emit(ip, match_length + kMinMatch, m);
+      if (ip > mflimit) {
+        a.lits.insert(a.lits.end(), src + anchor, src + end);
+        return;
+      }
+      c.hash[h_at(ip - 2)] = (uint32_t)((uint64_t)(ip - 2) + kDict);
+      uint64_t match_index = c.hash[h_at(ip)];
+      c.hash[h_at(ip)] = (uint32_t)((uint64_t)ip + kDict);
+      if (match_index >= low_limit &&
+          match_index < (uint64_t)ip + kDict &&
+          match_index + maxd >= (uint64_t)ip + kDict) {
+        m = (int64_t)(match_index - kDict);
+        if (ip - m >= 8 && rd32(src + m) == rd32(src + ip)) {
+          match_length =
+              count_eq(src, m + kMinMatch, ip + kMinMatch, matchlimit);
+          if (match_length >= kMmLongBig || ip - m < (int64_t)kMax16)
+            continue;
+        }
+      }
+      break;
+    }
+    ++ip;
+    forward_h = h_at(ip);
+  }
+}
+
+// level -> PCtx config. Returns the parser kind: 0 = not handled (greedy
+// fast path), 1 = noChain, 2 = hashChain, 3 = fastBig, 4 = priceFast,
+// 5 = lowestPrice
+inline int config_for_level(int level, PCtx& c) {
+  int base = level >= 30 ? level - 20 : level;
+  c.huff = level >= 30;
+  c.mm_long = 16;
+  c.sufficient = 1ll << 40;
+  switch (base) {
+    case 12: c.hash_log = (level == 32 ? 14 : 18); c.window_log = 16;
+             c.search_length = 5; return 1;
+    case 13: c.hash_log = 18; c.content_log = 16; c.window_log = 16;
+             c.search_num = 2;   c.search_length = 5; return 2;
+    case 14: c.hash_log = 18; c.content_log = 16; c.window_log = 16;
+             c.search_num = 4;   c.search_length = 5; return 2;
+    case 15: c.hash_log = 18; c.content_log = 16; c.window_log = 16;
+             c.search_num = 8;   c.search_length = 5; return 2;
+    case 16: c.hash_log = 18; c.content_log = 16; c.window_log = 16;
+             c.search_num = 16;  c.search_length = 4; return 2;
+    case 17: c.hash_log = 18; c.content_log = 16; c.window_log = 16;
+             c.search_num = 256; c.search_length = 4; return 2;
+    // 18/19 are optimalPriceBT in the reference; approximated with the
+    // deepest hashChain (ratio lands between -17 and the true -19)
+    case 18: c.hash_log = 18; c.content_log = 17; c.window_log = 16;
+             c.search_num = 384; c.search_length = 4; return 2;
+    case 19: c.hash_log = 21; c.content_log = 17; c.window_log = 16;
+             c.search_num = 768; c.search_length = 4; return 2;
+    case 20: c.hash_log = 14; c.window_log = 22;
+             c.search_length = 5; return 3;
+    case 21: c.hash_log = 14; c.window_log = 22;
+             c.search_length = 5; return 4;
+    case 22: c.hash_log = 18; c.window_log = 22;
+             c.search_length = 5; return 4;
+    case 23: c.hash_log = 18; c.content_log = 22; c.window_log = 22;
+             c.search_num = 1;  c.search_length = 5; c.sufficient = 64;
+             return 5;
+    case 24: c.hash_log = 23; c.content_log = 22; c.window_log = 22;
+             c.search_num = 2;  c.search_length = 5; c.sufficient = 64;
+             return 5;
+    case 25: c.hash_log = 23; c.content_log = 22; c.window_log = 22;
+             c.search_num = 8;  c.search_length = 4; c.sufficient = 64;
+             return 5;
+    // 26-29 are optimalPrice(BT); approximated with deeper lowestPrice
+    case 26: c.hash_log = 23; c.content_log = 23; c.window_log = 22;
+             c.search_num = 32; c.search_length = 4; c.sufficient = 128;
+             return 5;
+    case 27: c.hash_log = 23; c.content_log = 23; c.window_log = 22;
+             c.search_num = 128; c.search_length = 4; c.sufficient = 256;
+             return 5;
+    case 28: c.hash_log = 23; c.content_log = 23; c.window_log = 22;
+             c.search_num = 512; c.search_length = 4; c.sufficient = 1024;
+             return 5;
+    case 29: c.hash_log = 23; c.content_log = 23; c.window_log = 24;
+             c.search_num = 1024; c.search_length = 4; c.sufficient = 1024;
+             return 5;
+    default: return 0;
+  }
+}
+
+}  // namespace refparse
+
 }  // namespace
 
 extern "C" {
 
-// Compress `src` into a Lizard block stream at any level 10..49: greedy
-// match finder (fastLZ4 codewords for 10-19/30-39, LIZv1 with rep-offset
-// for 20-29/40-49), Huff0 entropy stage for levels >= 30. Valid streams
-// for liblizard and this repo's decoders; NOT byte-identical to the
-// reference encoder (the bit-exact path is lizard_tpu/ref/block_encode.py).
-// Returns bytes written or -1 if dst is too small.
+// Compress `src` into a Lizard block stream at any level 10..49. Levels
+// map to parser tiers like the reference ladder (lizard_common.h:234-284):
+// greedy single-probe finders for the fastest tiers (10-11/30-31 LZ4),
+// and faithful ports of this repo's ref/parsers.py decisions for
+// noChain (12/32-33), hashChain (13-17/34-38), fastBig (20/40),
+// priceFast (21-22/41-42) and lowestPrice (23-25/43-45); the optimal
+// tiers (18-19/26-29/39/46-49) run the deepest chain/price parses as an
+// approximation. Huff0 entropy stage for levels >= 30. Valid streams for
+// liblizard and this repo's decoders; NOT byte-identical to the
+// reference encoder (the bit-exact path is lizard_tpu/ref/
+// block_encode.py). Returns bytes written or -1 if dst is too small.
 int64_t ltpu_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap,
                       int level, int accel) {
   if (level < 10 || level > 49) return -2;
   bool lz4 = level_is_lz4(level);
   bool huff = level >= 30;
-  int hlog = 17;
-  std::vector<uint32_t> htab((size_t)1 << hlog, 0xFFFFFFFFu);
   std::vector<uint8_t> out;
   out.reserve(n / 2 + 1024);
   out.push_back((uint8_t)level);
   EncAcc acc;
   LizAcc lacc;
   static const std::vector<uint8_t> kEmpty;
+  refparse::PCtx pctx;
+  int kind = accel <= 1 ? refparse::config_for_level(level, pctx) : 0;
+  if (kind) {
+    pctx.src = src;
+    pctx.n = (int64_t)n;
+    pctx.hash.assign((size_t)1 << pctx.hash_log, 0);
+    if (pctx.content_log)
+      pctx.chain.assign((size_t)1 << pctx.content_log, 0);
+  }
+  std::vector<uint32_t> htab;
+  if (!kind) htab.assign((size_t)1 << 17, 0xFFFFFFFFu);
   for (size_t b0 = 0; b0 < n; b0 += kBlock) {
     size_t b1 = b0 + kBlock < n ? b0 + kBlock : n;
     if (lz4) {
-      encode_inner_lz4(src, b0, b1, n, htab.data(), hlog, accel, acc);
+      if (kind) {
+        acc.flags.clear();
+        acc.lits.clear();
+        // each inner block restarts its parse; the window (tables) spans
+        // the whole stream, like Lizard_compress_generic's block loop
+        int64_t anchor = (int64_t)b0;
+        if (kind == 1)
+          refparse::parse_lazy_lz4(pctx, (int64_t)b0, (int64_t)b1, acc,
+                                   refparse::find_best_nc,
+                                   refparse::wider_nc, false, &anchor);
+        else
+          refparse::parse_lazy_lz4(pctx, (int64_t)b0, (int64_t)b1, acc,
+                                   refparse::find_best_hc,
+                                   refparse::wider_hc, true, &anchor);
+        acc.lits.insert(acc.lits.end(), src + anchor, src + b1);
+      } else {
+        encode_inner_lz4(src, b0, b1, n, htab.data(), 17, accel, acc);
+      }
       write_block_n(out, src, b0, b1 - b0, acc.flags, acc.lits, kEmpty,
                     kEmpty, huff);
     } else {
-      encode_inner_liz(src, b0, b1, n, htab.data(), hlog, accel, lacc);
+      if (kind) {
+        lacc.flags.clear();
+        lacc.lits.clear();
+        lacc.off16.clear();
+        lacc.off24.clear();
+        lacc.last_off = 0;   // decoder resets last_off per inner block
+        if (kind == 3)
+          refparse::parse_fastbig(pctx, (int64_t)b0, (int64_t)b1, lacc);
+        else if (kind == 4)
+          refparse::parse_pricefast(pctx, (int64_t)b0, (int64_t)b1, lacc);
+        else
+          refparse::parse_lowestprice(pctx, (int64_t)b0, (int64_t)b1, lacc);
+      } else {
+        encode_inner_liz(src, b0, b1, n, htab.data(), 17, accel, lacc);
+      }
       write_block_n(out, src, b0, b1 - b0, lacc.flags, lacc.lits, lacc.off16,
                     lacc.off24, huff);
     }
