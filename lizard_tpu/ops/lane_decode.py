@@ -132,21 +132,28 @@ NFENT = 8                    # far-window entries (512 B output tiles DMAd
                              # host fallback
 
 # ---- family-0 (fastLZ4) two-plane band geometry (NOTES_ROUND4 design):
-# 1024-byte bands scanned as 256 tokens in two 128-lane planes. Per-band
-# fixed costs (fronts, prologue, while-loop syncs, walk-operand hoists,
-# flush bookkeeping) halve per output byte; per-token work is unchanged
-# (two plane instances); placement gathers pay ~2x per field (plane
-# select). LZ4 tokens emit >= 4 B each, so <= 256 tokens always cover a
-# 1024 B band -- the continuation pass stays rare. LIZv1 keeps BAND=512:
-# rep-token floods can emit < 4 B/token, and 256-token bands would blow
-# NT_FF/LA_O/DEFER_TH coverage.
-BAND_F0 = 1024
-NTP_F0 = 2                   # token planes (256-token scan)
-NT_P_F0 = 7                  # parse front tiles (3.5 KB)
-NT_C_F0 = 3                  # carry front tiles (511 align + 1024 carry)
-NT_FF_F0 = 2                 # flags front tiles (511 + 256 tokens + 128)
-LA_P_F0 = 3072               # parse lookahead; +1 KB band fits NT_B*512
-DEFER_TH_F0 = 2560           # = BAND_F0 + 256 tokens x 6 ext/off bytes
+# 1024-byte bands scanned as 256 tokens in two 128-lane planes.
+# MEASURED NEGATIVE on hardware (round 5): -10 56.1 ms vs 42.1 ms at
+# BAND=512. The halved per-band fixed costs (fronts, prologue, syncs,
+# walk-operand hoists, flush bookkeeping) are outweighed by per-byte
+# regressions: each serial fixup iteration must update BOTH token planes
+# (~2x vector work at unchanged per-byte iteration count) and every
+# placement/boundary lookup pays two plane-selected gathers per field.
+# The scan machinery below stays NTP-generic; LANE_BAND2=1 re-enables the
+# two-plane config for future probes. Default: single plane (identical
+# geometry and schedule to the pre-refactor kernel for both families).
+if os.environ.get("LANE_BAND2", "0") == "1":
+    BAND_F0 = 1024
+    NTP_F0 = 2               # token planes (256-token scan)
+    NT_P_F0 = 7              # parse front tiles (3.5 KB)
+    NT_C_F0 = 3              # carry front tiles (511 align + 1024 carry)
+    NT_FF_F0 = 2             # flags front tiles (511 + 256 tokens + 128)
+    LA_P_F0 = 3072           # parse lookahead; +1 KB band fits NT_B*512
+    DEFER_TH_F0 = 2560       # = BAND_F0 + 256 tokens x 6 ext/off bytes
+else:
+    BAND_F0, NTP_F0 = 512, 1
+    NT_P_F0, NT_C_F0, NT_FF_F0 = 4, 2, 3
+    LA_P_F0, DEFER_TH_F0 = 2560 if SUP_TILES <= 2 else 5376, 1500
 
 # family-1 aliases (the module-level values above): the kernel shadows
 # BAND/NP/TPB/... with per-family locals chosen from these pairs
