@@ -63,6 +63,10 @@ from lizard_tpu.format.constants import (     # noqa: E402
     LIZARD_MIN_LENGTH,         # 21 (lizard_common.h:78-81)
 )
 
+import os as _os
+
+_ENC_UNR = int(_os.environ.get("LANE_ENC_UNR", "2"))  # w_body per w_cond
+
 SEG = 128
 RING = 16                     # w8 ring rows (probe reach: 15*128 bytes)
 HMUL = 2654435761
@@ -78,8 +82,11 @@ class EncCfg:
     min_offset: int = 8       # LIZARD_FAST_MIN_OFFSET (interop: >= 8)
     probes: tuple = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
                      384, 512, 768, 1024)
-    tok_rows: int = 390       # token-buffer rows (390*42 = 16380 slots;
-                              # overflow -> host fallback, see pass A)
+    tok_rows: int = 448       # token-buffer rows (448*42 = 18816 slots;
+                              # overflow -> host fallback, see pass A).
+                              # Sized for the unrolled while (up to one
+                              # null slot per _ENC_UNR-step at ~16 real
+                              # iterations/segment)
     lazy: int = 0             # lazy look-ahead steps in pass A (0-2);
                               # True == 1 (bool-compatible)
     k5: int = 0               # 5-byte-hash tables: 0 = none; 1 = one
@@ -117,12 +124,29 @@ class EncCfg:
                               # 0.5190, p16 0.5147 vs in-parse 0.5152)
                               # for pref/4+1 gathered words per eval.
 
+    far_dist: int = 65536     # far-table delay in bytes (multiple of
+                              # SEG*4; tests shrink it with cfg.n —
+                              # production keeps the off24 boundary)
+    far: int = 0              # off24 candidates (LIZv1 families): one
+                              # extra hash table whose inserts run 64 KB
+                              # DELAYED (at segment i it indexes segment
+                              # i-512), so its hits are all >= 65536
+                              # away; candidates ship UNVERIFIED in one
+                              # extra d16 map (raw = distance - 65535)
+                              # and pass A's fetch verifies + enforces
+                              # the format's MM_LONGOFF >= 16 rule
+                              # (lib/lizard_common.h:223-231,
+                              # lizard_compress_liz.h:92-136). Reach is
+                              # within-block (65536..131070).
+
     @property
     def nmaps(self):
-        """Candidate arrays emitted by phase 1 (the last one is the
-        DELTA map when chain > 0)."""
+        """Candidate arrays emitted by phase 1 (order: h4+probes,
+        k5 slots, FAR map, DELTA map — the far map always precedes the
+        delta map; chain tiers don't use far)."""
+        assert not (self.far and self.chain), "far+chain not supported"
         base = 1 if self.k5 <= 1 else 1 + self.k5
-        return base + (1 if self.chain else 0)
+        return base + (1 if self.far else 0) + (1 if self.chain else 0)
 
     @property
     def ncand(self):
@@ -149,6 +173,27 @@ class EncCfg:
     @property
     def nch(self):
         return (self.maxoff >> 9) + 2
+
+
+_CHK1 = -2048144789          # 0x85EBCA6B (xxhash avalanche constants)
+_CHK2 = -1028477379          # 0xC2B2AE35
+_CHK3 = 668265263
+_HMULI = -1640531535         # HMUL as wrapped int32
+
+
+def _chk13(wrow):
+    """13-bit checksum of the 16 bytes starting at each lane's position,
+    from the segment's w8 row (int32): lanes l+4/l+8/l+12 via circular
+    rolls. Lanes > 115 mix wrapped values — insert and lookup wrap
+    differently there, so tail-lane far candidates self-drop (~9%
+    coverage loss per segment)."""
+    m = (wrow
+         ^ (pltpu.roll(wrow, 124, 1) * _CHK1)
+         ^ (pltpu.roll(wrow, 120, 1) * _CHK2)
+         ^ (pltpu.roll(wrow, 116, 1) * _CHK3))
+    h = _shr((m * _HMULI).astype(jnp.uint32),
+             jnp.full((8, 128), 19, jnp.int32))
+    return (h & 8191).astype(jnp.int32)
 
 
 def _iota0():
@@ -183,7 +228,8 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
     cp_in.start()
     cp_in.wait()
 
-    table[:, :] = jnp.zeros(((1 + cfg.k5) * ttiles * 8, 128), jnp.int32)
+    ntab = 1 + cfg.k5 + (1 if cfg.far else 0)
+    table[:, :] = jnp.zeros((ntab * ttiles * 8, 128), jnp.int32)
 
     nv = jnp.zeros((8, 128), jnp.int32)
     for b in range(8):
@@ -318,6 +364,22 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
         for bm in bests:
             mask = emit_ok & (bm >= 0)
             d16s.append(jnp.where(mask, p - bm, 0))
+        if cfg.far:
+            # FAR map. Table entries carry ((pos+1) << 13) | chk13 where
+            # chk13 hashes the position's FIRST 16 BYTES: a lookup whose
+            # checksum matches is (whp) a >= 16-byte match, so the
+            # MM_LONGOFF >= 16 gate in pass A almost never fires and the
+            # parse never serializes on spurious 4-byte far hits. Pass A
+            # still exact-verifies the bytes. raw = d - (far_dist-1).
+            FD = cfg.far_dist
+            far_tix = 1 + k5
+            accF = lookup(far_tix, h)
+            jpos = (accF >> 13) - 1
+            chk_c = _chk13(w8.astype(jnp.int32))
+            offF = p - jpos
+            okF = ((accF > 0) & ((accF & 8191) == chk_c)
+                   & (offF >= FD) & (offF <= 2 * FD - 2))
+            d16s.append(jnp.where(emit_ok & okF, offF - (FD - 1), 0))
         if cfg.chain:
             # DELTA map (last map): per-position distance to the
             # pre-segment h4-bucket occupant, unverified/uncapped
@@ -333,16 +395,40 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
 
             dhalves[m] = d16
 
-        # ---- insert (h4 always table 0; h5 the rotating slot) ---------
-        ins = [(h, 0)]
+        # ---- insert (h4 always table 0; h5 the rotating slot; the far
+        # table indexes segment i-512 — same machinery, delayed keys) --
+        ins = [(h, 0, i * SEG, p < nv, None)]
         if k5:
-            ins.append((h5v, 1 + (i & (k5 - 1))))
+            ins.append((h5v, 1 + (i & (k5 - 1)), i * SEG, p < nv, None))
+        if cfg.far:
+            FARSEG = cfg.far_dist // SEG
+            jseg = jnp.maximum(i - FARSEG, 0)
+            t0d = jseg >> 2
+            c32d = 32 * jseg + (lanes >> 2)
+            T0d = w32[pl.ds(t0d * 8, 8)]
+            T1d = w32[pl.ds(jnp.minimum(t0d + 1, cfg.wtiles) * 8, 8)]
+            wlod = jnp.where((c32d >> 7) == t0d, _take(T0d, c32d & 127),
+                             _take(T1d, c32d & 127))
+            c32dp = c32d + 1
+            whid = jnp.where((c32dp >> 7) == t0d, _take(T0d, c32dp & 127),
+                             _take(T1d, c32dp & 127))
+            w8d = (_shr(wlod.astype(jnp.uint32), sh)
+                   | jnp.where(sh == 0, jnp.uint32(0),
+                               _shl(whid.astype(jnp.uint32),
+                                    (32 - sh) & 31)))
+            hd = (_shr(w8d * jnp.uint32(HMUL),
+                       jnp.full((8, 128), 32 - cfg.hl, jnp.int32))
+                  ).astype(jnp.int32)
+            pdv = jseg * SEG + lanes
+            chkd = _chk13(w8d.astype(jnp.int32))
+            ins.append((hd, 1 + k5, jseg * SEG,
+                        (pdv < nv) & (i >= FARSEG), chkd))
         lrow = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         tt64 = jax.lax.broadcasted_iota(jnp.int32, (trows, 128), 0)
-        for h_t, tix in ins:
+        for h_t, tix, base_p, pmask, chkrow in ins:
             hnext = pltpu.roll(h_t, 127, 1)       # h[l+1] (wraps at 127)
-            keep = ((lanes == 127) | (h_t != hnext)) & (p < nv)
+            keep = ((lanes == 127) | (h_t != hnext)) & pmask
             hins = jnp.where(keep, h_t, BIGSENT)
             hts[0:8] = hins
             ht = jnp.transpose(hts[:, :])         # ht[l, b] = hins[b, l]
@@ -363,7 +449,14 @@ def _p1_kernel(cfg, meta, w32_hbm, packed_hbm, w32, table, ring, packed,
                 Cl = jax.lax.dot_general(
                     rowOH, Xl, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.int32)
-                newv = i * SEG + Cl + 1
+                newv = base_p + Cl + 1
+                if chkrow is not None:
+                    # far entries carry ((pos+1) << 13) | chk13 of the
+                    # inserted lane (gather the winner lane's checksum)
+                    chk_b = jnp.broadcast_to(chkrow[b:b + 1, :],
+                                             (trows, 128))
+                    chk_at = _take(chk_b, jnp.clip(Cl, 0, 127))
+                    newv = (newv << 13) | chk_at
                 cs[b * trows:(b + 1) * trows] = jnp.where(cnt == 1, newv, 0)
 
             # apply: interleaved tile k rows = (tix*ttiles + k, b=0..7)
@@ -403,8 +496,8 @@ def p1_call(w32i, meta, cfg: EncCfg, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(((cfg.wtiles + 1) * 8, 128), jnp.int32),
-            pltpu.VMEM(((1 + cfg.k5) * cfg.ttiles * 8, 128),
-                       jnp.int32),
+            pltpu.VMEM(((1 + cfg.k5 + (1 if cfg.far else 0))
+                        * cfg.ttiles * 8, 128), jnp.int32),
             pltpu.VMEM((RING * 8, 128), jnp.int32),
             pltpu.VMEM((cfg.nmaps * (cfg.nseg // 2) * 8, 128),
                        jnp.int32),
@@ -729,6 +822,9 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             for m in range(cfg.nmaps):
                 raw = cand[pl.ds(g * CR + m * CR2 + (i >> 1) * 8, 8)]
                 drow = jnp.where((i & 1) == 1, raw >> 16, raw) & 0xFFFF
+                if cfg.far and m == cfg.nmaps - 1:
+                    # FAR map: raw is distance - (far_dist-1) (phase 1)
+                    drow = jnp.where(drow > 0, drow + cfg.far_dist - 1, 0)
                 dr.append(drow)
                 vu = (drow > 0) if vu is None else (vu | (drow > 0))
             drows.append(dr)
@@ -811,17 +907,35 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     lo, hi = jax.lax.fori_loop(0, kfar, far, (lo, hi))
                 else:
                     # constant-cost per-sublane fetch: each sublane's
-                    # 128 source bytes span <= 2 word tiles; extract the
-                    # tile index as a scalar and read both rows directly
-                    l1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    # 128 source bytes span <= 2 word tiles. The tile
+                    # index must be a SCALAR (dynamic row slice), but 8
+                    # separate lane-0 extracts cost 8 vector->scalar
+                    # syncs; instead compute everything vectorized and
+                    # collapse the 8 tile indices into TWO packed
+                    # scalars (4 bytes each, the decode refill's pks
+                    # idiom), then unpack with cheap scalar shifts.
+                    d0 = jnp.broadcast_to(
+                        jax.lax.slice(d_tok, (0, 0), (8, 1)), (8, 128))
+                    y0 = X0 - d0
+                    y0c = jnp.maximum(y0, 0)
+                    t0v = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
+                    # rel = word(y0+l) - t0*128, exact for lanes with
+                    # y0+l >= 0 (the only ones the masks read);
+                    # negative-y lanes floor below 0 -> garbage
+                    rel_all = ((y0c >> 2) - t0v * 128 +
+                               ((y0c & 3) + lanes + jnp.minimum(y0, 0))
+                               // 4)
+                    lane0 = lanes == 0
+                    shb = (sub & 3) << 3
+                    t0sh = _shl(t0v.astype(jnp.uint32),
+                                shb).astype(jnp.int32)
+                    pk_lo = jnp.sum(jnp.where(lane0 & (sub < 4), t0sh, 0))
+                    pk_hi = jnp.sum(jnp.where(lane0 & (sub >= 4), t0sh, 0))
                     lo = z
                     hi = z
                     for b in range(8):
-                        db = jnp.max(jax.lax.slice(d_tok, (b, 0),
-                                                   (b + 1, 1)))
-                        y0 = X0 - db
-                        y0c = jnp.maximum(y0, 0)
-                        t0s = jnp.clip(y0c >> 9, 0, cfg.wtiles - 1)
+                        pk = pk_lo if b < 4 else pk_hi
+                        t0s = (pk >> ((b & 3) * 8)) & 255
                         # Mosaic's dynamic_gather only lowers on full
                         # (8,128) tiles (a (1,128) gather fails shape
                         # checks) -> broadcast the row reads to 8
@@ -833,12 +947,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                             w32[pl.ds(g * WR
                                       + jnp.minimum(t0s + 1, cfg.wtiles)
                                       * 8 + b, 1)], (8, 128))
-                        # rel = word(y0+l) - t0s*128, exact for lanes
-                        # with y0+l >= 0 (the only ones the masks read);
-                        # negative-y lanes floor below 0 -> garbage
                         rel = jnp.broadcast_to(
-                            (y0c >> 2) - t0s * 128 +
-                            ((y0c & 3) + l1 + jnp.minimum(y0, 0)) // 4,
+                            jax.lax.slice(rel_all, (b, 0), (b + 1, 128)),
                             (8, 128))
                         gA = _take(rA, jnp.clip(rel, 0, 127))
                         gB = _take(rB, jnp.clip(rel - 128, 0, 127))
@@ -890,6 +1000,12 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     v_m = jnp.where(surv_m, (128 - sidx) + 3,
                                     jnp.where(act_m, ml_m, -1))
                     tk = v_m > v
+                    if cfg.far and m == cfg.nmaps - 1:
+                        # format rule: offsets >= 64K need ml >= 16
+                        # (MM_LONGOFF); survivors qualify only when
+                        # their guaranteed bound already clears it
+                        tk = tk & jnp.where(surv_m, (128 - sidx) + 3
+                                            >= 16, ml_m >= 16)
                     d_tok = jnp.where(tk, d_m, d_tok)
                     xor = jnp.where(tk, xor_m, xor)
                     xi = jnp.where(tk, xi_m, xi)
@@ -927,6 +1043,11 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     v_m = jnp.where(surv_m, (128 - rel2) + 3,
                                     jnp.where(act_m, ml_m, -1))
                     tk = v_m > v2
+                    if cfg.far and m == cfg.nmaps - 1:
+                        tk = tk & jnp.where(surv_m, (128 - rel2) + 3
+                                            >= 16, ml_m >= 16)
+                        act_m = act_m & jnp.where(
+                            surv_m, (128 - rel2) + 3 >= 16, ml_m >= 16)
                     d2 = jnp.where(tk, d_m, d2)
                     has2 = has2 | act_m
                     xor2 = jnp.where(tk, xor_m, xor2)
@@ -945,7 +1066,11 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                             | (~take2 & survived))
                 vcur = jnp.where(take2, v2, vcur)
 
-            found = active & ~survived
+            # a lane whose only candidate(s) failed their gates (far map
+            # ml < MM_LONGOFF) acquires nothing: skip the position, else
+            # the while-loop would re-select it forever
+            nofit = aq & (vcur < 0)
+            found = active & ~survived & ~nofit
 
             # back-extension (lizard_parser_fast.h:102): consecutive
             # byte-equal lanes immediately below the match start,
@@ -961,7 +1086,8 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
             s_tok = s_tok - back
             ml = ml + back
 
-            cur = jnp.where(found, s_tok + ml, cur)
+            cur = jnp.where(found, s_tok + ml,
+                            jnp.where(nofit, s_new + 1, cur))
             pend = jnp.where(found, 0,
                              jnp.where(survived, 1,
                                        pend)).astype(jnp.int32)
@@ -996,7 +1122,18 @@ def _pA_kernel(cfg, MAXROWS, il, meta, w32_hbm, cand_hbm, tok_hbm,
                     row + wrap.astype(jnp.int32)) + tuple(out)
 
         stt = (st[0], st[1], st[2]) + tuple(gst)
-        stt = jax.lax.while_loop(w_cond, w_body, stt)
+        if _ENC_UNR > 1:
+            # run _ENC_UNR bodies per while condition: the w_cond scalar
+            # sync is a large share of pass-A time (NOTES_ROUND4), and a
+            # workless body is a masked no-op that only burns one null
+            # token slot (tok_rows carries the headroom)
+            def w_bodyU(s):
+                for _ in range(_ENC_UNR):
+                    s = w_body(s)
+                return s
+            stt = jax.lax.while_loop(w_cond, w_bodyU, stt)
+        else:
+            stt = jax.lax.while_loop(w_cond, w_body, stt)
         return stt
 
     init = ((jnp.int32(0), jnp.int32(0), jnp.int32(0))
@@ -1181,19 +1318,93 @@ MAX_SHORT_MATCHLEN = 15
 RUN_BITS_LIZ = 3
 
 
+def _emit_tokens_liz_scalar(data: bytes, st, ml, off):
+    """Scalar LIZv1 emitter covering the FULL codeword set including the
+    off24 class (lizard_compress_liz.h:43-165, 92-136): offsets >= 64K
+    emit the long-match token family (literals ride a zero-length rep
+    token first; ml' = ml - MM_LONGOFF; token 31 + ext above 46) into
+    the off24 stream. Used for token lists containing far offsets; the
+    vectorized path below handles the common all-near case."""
+    from lizard_tpu.format.constants import MM_LONGOFF as _MM
+    src = np.frombuffer(data, np.uint8)
+    flags = bytearray()
+    lits = bytearray()
+    o16 = bytearray()
+    o24 = bytearray()
+    last_off = 0
+    anchor = 0
+
+    def put_ext(v):
+        if v < 254:
+            lits.append(v)
+        elif v < 65536:
+            lits.extend((254, v & 255, (v >> 8) & 255))
+        else:
+            lits.extend((255, v & 255, (v >> 8) & 255, (v >> 16) & 255))
+
+    for s, m, d in zip(st, ml, off):
+        s, m, d = int(s), int(m), int(d)
+        ll = s - anchor
+        rep = last_off != 0 and d == last_off
+        tok = len(flags)
+        flags.append(0)
+        if ll > 0 or (d < 65536 or rep):
+            if ll >= MAX_SHORT_LITLEN:
+                flags[tok] = MAX_SHORT_LITLEN
+                put_ext(ll - MAX_SHORT_LITLEN)
+            else:
+                flags[tok] = ll
+            lits += src[anchor:s].tobytes()
+            if d >= 65536 and not rep:
+                flags[tok] += 128          # literal-carrier rep token
+                tok = len(flags)
+                flags.append(0)
+        if d >= 65536 and not rep:
+            assert m >= _MM
+            if m - _MM >= 31:
+                flags[tok] = 31
+                put_ext(m - _MM - 31)
+            else:
+                flags[tok] = m - _MM
+            o24 += d.to_bytes(3, "little")
+            last_off = d
+        else:
+            if rep:
+                flags[tok] += 128
+            else:
+                last_off = d
+                o16 += d.to_bytes(2, "little")
+            if m >= MAX_SHORT_MATCHLEN:
+                flags[tok] += MAX_SHORT_MATCHLEN << RUN_BITS_LIZ
+                put_ext(m - MAX_SHORT_MATCHLEN)
+            else:
+                flags[tok] += m << RUN_BITS_LIZ
+        anchor = s + m
+    lits += src[anchor:].tobytes()
+    return (np.frombuffer(bytes(flags), np.uint8),
+            np.frombuffer(bytes(lits), np.uint8),
+            np.frombuffer(bytes(o16), np.uint8),
+            np.frombuffer(bytes(o24), np.uint8))
+
+
 def emit_tokens_liz(data: bytes, st, ml, off):
-    """LIZv1 serialization of a token list (lizard_compress_liz.h:43-165
-    for offsets < 64K; the off24 class is never needed because the lane
-    encoder's maxoff < 2^16). Tokens repeating the previous offset use
-    the rep class (bit 7, zero offset bytes — last_off carries, so runs
-    of equal offsets all collapse). Returns (flags, lits, off16) uint8
-    arrays; length extensions ride the literals stream and offsets the
-    off16 stream."""
+    """LIZv1 serialization of a token list (lizard_compress_liz.h:43-165).
+    Tokens repeating the previous offset use the rep class (bit 7, zero
+    offset bytes — last_off carries, so runs of equal offsets all
+    collapse); offsets >= 64K take the off24 long-match class (scalar
+    path). Returns (flags, lits, off16, off24) uint8 arrays; length
+    extensions ride the literals stream."""
     n = len(data)
     src = np.frombuffer(data, np.uint8)
     nt = len(st)
+    z8 = np.zeros(0, np.uint8)
     if nt == 0:
-        return (np.zeros(0, np.uint8), src.copy(), np.zeros(0, np.uint8))
+        return (z8, src.copy(), z8, z8)
+    st = np.asarray(st)
+    ml = np.asarray(ml)
+    off = np.asarray(off)
+    if (off >= 65536).any():
+        return _emit_tokens_liz_scalar(data, st, ml, off)
     ends = st + ml
     prev_end = np.empty(nt, np.int64)
     prev_end[0] = 0
@@ -1247,18 +1458,18 @@ def emit_tokens_liz(data: bytes, st, ml, off):
     off16 = np.empty(len(offs) * 2, np.uint8)
     off16[0::2] = offs & 255
     off16[1::2] = (offs >> 8) & 255
-    return flags, out, off16
+    return flags, out, off16, np.zeros(0, np.uint8)
 
 
-def assemble_block(data, flags, lits, off16=b"", huff=False):
+def assemble_block(data, flags, lits, off16=b"", huff=False, off24=b""):
     """Inner-block container (Lizard_writeBlock + Lizard_writeStream,
     lizard_compress.c:141-250): header byte of per-stream huff bits,
     streams in lens/off16/off24/flags/literals order, Huffman applied
     to flags+literals when huff=True and the reference's gain gates
     pass, uncompressed fallback on insufficient total gain."""
     from lizard_tpu.format.constants import (
-        FLAG_UNCOMPRESSED, FLAG_FLAGS, FLAG_LITERALS,
-        minimal_huff_gain, minimal_block_gain)
+        FLAG_UNCOMPRESSED, FLAG_FLAGS, FLAG_LITERALS, FLAG_OFFSET16,
+        FLAG_OFFSET24, minimal_huff_gain, minimal_block_gain)
 
     def write_stream(out, stream, use_huff):
         if use_huff and len(stream) > 1024:
@@ -1283,11 +1494,11 @@ def assemble_block(data, flags, lits, off16=b"", huff=False):
     body = bytearray()
     body.append(0)
     write_stream(body, b"", False)                    # lens: empty
-    body[0] += write_stream(body, bytes(off16), False) * 4
-    write_stream(body, b"", False)                    # off24: empty
+    body[0] += write_stream(body, bytes(off16), False) * FLAG_OFFSET16
+    body[0] += write_stream(body, bytes(off24), False) * FLAG_OFFSET24
     body[0] += write_stream(body, bytes(flags), huff) * FLAG_FLAGS
     body[0] += write_stream(body, bytes(lits), huff) * FLAG_LITERALS
-    sum_len = len(flags) + len(lits) + len(off16)
+    sum_len = len(flags) + len(lits) + len(off16) + len(off24)
     if (len(lits) < 16 or sum_len + 5 * 3 + 1 > len(data)
             or minimal_block_gain(len(body)) > len(data)):
         out = bytearray([FLAG_UNCOMPRESSED])
@@ -1335,19 +1546,23 @@ def cfg_for_level(level: int) -> EncCfg:
     0.5190 / 0.5147 / 0.5068 / 0.5039 vs the reference ladder -14
     0.5309, -17 0.4930 (their -17 also has a 2x bigger window)."""
     sub = level % 10
+    # LIZv1 families get the off24 class (within-block 64-128 KB reach,
+    # MM_LONGOFF>=16) via the delayed far table; chain tiers (6-9) keep
+    # far off (phase 1.5's map layout owns the last slot)
+    far = 1 if (level // 10) in (2, 4) and sub <= 5 else 0
     if sub == 0:
         # greedy single-table with the full 16-bit reach: measured
         # 0.5720 on the bench corpus vs the reference -10's 0.5791 —
         # the 16 KB-reach variant (0.5832) would trail it
-        return EncCfg(maxoff=65535)
+        return EncCfg(maxoff=65535, far=far)
     if sub == 1:
-        return EncCfg(maxoff=65535, lazy=1)
+        return EncCfg(maxoff=65535, lazy=1, far=far)
     if sub == 2:
-        return EncCfg(maxoff=65535, lazy=1, k5=1)
+        return EncCfg(maxoff=65535, lazy=1, k5=1, far=far)
     if sub <= 4:
-        return EncCfg(maxoff=65535, lazy=2, k5=2)
+        return EncCfg(maxoff=65535, lazy=2, k5=2, far=far)
     if sub == 5:
-        return EncCfg(maxoff=65535, lazy=2, k5=4)
+        return EncCfg(maxoff=65535, lazy=2, k5=4, far=far)
     if sub == 6:
         return EncCfg(maxoff=65535, lazy=2, chain=16, hl=15)
     if sub == 7:
@@ -1437,11 +1652,21 @@ def emit_inner(d, st, ml, off, level):
     from lizard_tpu import runtime
     fam = level // 10
     if fam in (2, 4):                          # LIZv1 codewords
-        r = runtime.emit_liz(d, st, ml, off)
-        if r is None:
-            r = emit_tokens_liz(d, st, ml, off)
-        flags, lits, off16 = r
-        return assemble_block(d, flags, lits, off16, huff=(fam == 4))
+        offa = np.asarray(off)
+        if len(offa) and int(offa.max(initial=0)) >= 65536:
+            # off24 class present: full-codeword emitters
+            r = runtime.emit_liz_far(d, st, ml, off)
+            if r is None:
+                r = _emit_tokens_liz_scalar(d, st, ml, off)
+            flags, lits, off16, off24 = r
+        else:
+            r = runtime.emit_liz(d, st, ml, off)
+            if r is None:
+                r = emit_tokens_liz(d, st, ml, off)[:3]
+            flags, lits, off16 = r
+            off24 = b""
+        return assemble_block(d, flags, lits, off16, huff=(fam == 4),
+                              off24=off24)
     r = runtime.emit_lz4(d, st, ml, off)       # fastLZ4 codewords
     if r is None:
         r = emit_tokens(d, st, ml, off)
@@ -1561,18 +1786,27 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
             def ml_of(s, x):
                 return (lim - s) if x >= lim else min(x - s + 3, lim - s)
 
+            far_idx = cfg.nmaps - 1 if cfg.far else -1
+
             def pick(s, seg_end):
                 """Kernel candidate pick: strictly-longest VISIBLE
                 length wins (segment survivors show seg_end-s+3; the
-                earlier map wins ties). Returns (v, ml_full, d)."""
+                earlier map wins ties). The far map's candidates carry
+                +65535 and must clear MM_LONGOFF (survivors via their
+                guaranteed bound). Returns (v, ml_full, d); v = -1 means
+                no candidate fit (the parse skips the position)."""
                 bv, bml, bd = -1, 0, 0
-                for row in db:
+                for mi, row in enumerate(db):
                     if row[s] <= 0:
                         continue
-                    d = int(row[s])
+                    d = int(row[s]) + (cfg.far_dist - 1
+                                       if mi == far_idx else 0)
                     x = mismatch_x(s, d)
                     m = ml_of(s, x)
-                    v = (seg_end - s + 3) if x >= seg_end else m
+                    surv = x >= seg_end
+                    v = (seg_end - s + 3) if surv else m
+                    if mi == far_idx and v < 16:
+                        continue
                     if v > bv:
                         bv, bml, bd = v, m, d
                 return bv, bml, bd
@@ -1584,6 +1818,9 @@ def p2_reference(blocks, cfg: EncCfg, dmap=None):
                 s = int(cpos[ci])
                 seg_end = (s // SEG) * SEG + SEG
                 v1, ml, d = pick(s, seg_end)
+                if v1 < 0:          # every candidate failed its gate
+                    cur = s + 1
+                    continue
                 s0 = s
                 for step in range(1, int(cfg.lazy) + 1):
                     # kernel lazy rule: kernel-VISIBLE lengths, later
@@ -1636,7 +1873,21 @@ def p1_reference(blocks, cfg: EncCfg):
                    >> np.uint32(32 - cfg.hl)).astype(np.int64)
         t4 = np.zeros(1 << cfg.hl, np.int64)
         t5 = [np.zeros(1 << cfg.hl, np.int64) for _ in range(k5)]
+        tF = np.zeros(1 << cfg.hl, np.int64) if cfg.far else None
         pos = np.arange(cfg.n)
+        if cfg.far:
+            # kernel _chk13 mirror (incl. the circular per-segment rolls)
+            W = w8.reshape(cfg.nseg, SEG)
+            mix = (W.astype(np.int32)
+                   ^ (np.roll(W, -4, 1).astype(np.int32)
+                      * np.int32(_CHK1))
+                   ^ (np.roll(W, -8, 1).astype(np.int32)
+                      * np.int32(_CHK2))
+                   ^ (np.roll(W, -12, 1).astype(np.int32)
+                      * np.int32(_CHK3)))
+            chk_all = (((mix * np.int32(_HMULI)).astype(np.uint32)
+                        >> np.uint32(19)) & 8191).astype(np.int64)
+            chk_all = chk_all.reshape(cfg.n)
         emit = np.zeros((nm, cfg.n), np.int64)
         for i in range(cfg.nseg):
             seg = slice(i * SEG, (i + 1) * SEG)
@@ -1670,6 +1921,19 @@ def p1_reference(blocks, cfg: EncCfg):
             emit_ok = (ps < n - MFLIMIT) & (n >= LIZARD_MIN_LENGTH)
             for m, bm in enumerate(bests):
                 emit[m][seg] = np.where(emit_ok & (bm >= 0), ps - bm, 0)
+            if cfg.far:
+                # FAR map (raw = distance - (far_dist-1)): entry =
+                # ((pos+1) << 13) | chk13 of the first 16 bytes; a
+                # mismatching checksum drops the candidate (spurious
+                # 4-byte hits never reach pass A)
+                FD = cfg.far_dist
+                vF = tF[h[seg]]
+                jpos = (vF >> 13) - 1
+                offF = ps - jpos
+                okF = ((vF > 0) & ((vF & 8191) == chk_all[seg])
+                       & (offF >= FD) & (offF <= 2 * FD - 2))
+                emit[len(bests)][seg] = np.where(emit_ok & okF,
+                                                 offF - (FD - 1), 0)
             # insert: adjacent dedupe (keep last of each run; lane 127
             # always kept), duplicates after dedupe keep the OLD entry;
             # the h5 tables take turns (rotating slot i mod k5)
@@ -1685,21 +1949,27 @@ def p1_reference(blocks, cfg: EncCfg):
                 dl = ps - (vh - 1)
                 emit[nm - 1][seg] = np.where(
                     (vh > 0) & (dl < (1 << 16)), dl, 0)
-            ins = [(h, t4)]
+            ins = [(h[seg], ps, t4, None)]
             if k5:
-                ins.append((h5v, t5[i & (k5 - 1)]))
-            for h_t, tab in ins:
-                hs = h_t[seg]
+                ins.append((h5v[seg], ps, t5[i & (k5 - 1)], None))
+            if cfg.far and i >= cfg.far_dist // SEG:
+                jf = i - cfg.far_dist // SEG
+                segj = slice(jf * SEG, (jf + 1) * SEG)
+                ins.append((h[segj], pos[segj], tF, chk_all))
+            for hs, pv, tab, chkv in ins:
                 keep = np.ones(SEG, bool)
                 keep[:-1] = hs[:-1] != hs[1:]
-                keep &= ps < n
-                hk, pk = hs[keep], ps[keep]
+                keep &= pv < n
+                hk, pk = hs[keep], pv[keep]
                 uniq, inv, cnt = np.unique(hk, return_inverse=True,
                                            return_counts=True)
                 lastp = np.zeros(len(uniq), np.int64)
                 lastp[inv] = pk                 # later writes win
                 one = cnt == 1
-                tab[uniq[one]] = lastp[one] + 1
+                v = lastp[one] + 1
+                if chkv is not None:
+                    v = (v << 13) | chkv[lastp[one]]
+                tab[uniq[one]] = v
         out[b] = emit
     if nm == 1:
         return out[:, 0], meta

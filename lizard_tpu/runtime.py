@@ -70,6 +70,12 @@ def _load():
                                   i64p, i64p, i64p, ctypes.c_int64,
                                   ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_int64, ctypes.c_char_p, i64p]
+    lib.ltpu_emit_liz_far.restype = ctypes.c_int64
+    lib.ltpu_emit_liz_far.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, i64p,
+        ctypes.c_char_p, ctypes.c_int64, i64p,
+        ctypes.c_char_p, i64p, ctypes.c_char_p, i64p]
     _lib = lib
     return lib
 
@@ -223,3 +229,38 @@ def emit_liz(data: bytes, st, ml, off):
     if r < 0:
         raise RuntimeError("emit_liz overflow")
     return flags.raw[:nt], lits.raw[:r], off16.raw[:olen.value]
+
+
+def emit_liz_far(data: bytes, st, ml, off):
+    """Native pass B (LIZv1, FULL codeword set incl. the off24 class for
+    offsets >= 2^16): token arrays -> (flags, lits, off16, off24) bytes,
+    byte-identical to _emit_tokens_liz_scalar. None when the native
+    runtime is unavailable (caller falls back to the scalar emitter)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    st = np.ascontiguousarray(st, np.int64)
+    ml = np.ascontiguousarray(ml, np.int64)
+    off = np.ascontiguousarray(off, np.int64)
+    nt = len(st)
+    cap = len(data) + nt * 10 + 32
+    fcap = 2 * nt + 8          # worst case: literal-carrier + long token
+    flags = ctypes.create_string_buffer(max(fcap, 1))
+    lits = ctypes.create_string_buffer(cap)
+    off16 = ctypes.create_string_buffer(max(nt * 2, 1))
+    off24 = ctypes.create_string_buffer(max(nt * 3, 1))
+    nf = ctypes.c_int64(0)
+    nl = ctypes.c_int64(0)
+    n16 = ctypes.c_int64(0)
+    n24 = ctypes.c_int64(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.ltpu_emit_liz_far(
+        data, len(data), st.ctypes.data_as(i64p), ml.ctypes.data_as(i64p),
+        off.ctypes.data_as(i64p), nt,
+        flags, fcap, ctypes.byref(nf), lits, cap, ctypes.byref(nl),
+        off16, ctypes.byref(n16), off24, ctypes.byref(n24))
+    if r < 0:
+        raise RuntimeError("emit_liz_far overflow")
+    return (flags.raw[:nf.value], lits.raw[:nl.value],
+            off16.raw[:n16.value], off24.raw[:n24.value])

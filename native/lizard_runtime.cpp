@@ -2959,4 +2959,38 @@ int64_t ltpu_emit_liz(const uint8_t* src, int64_t n, const int64_t* st,
   return lp + tail;
 }
 
+// Full-codeword LIZv1 emission incl. the off24 class (lane-encoder pass
+// B for token lists containing offsets >= 64K). Reuses emit_seq_liz, so
+// literals-carrier tokens, MM_LONGOFF long-match tokens, and rep
+// collapsing all follow lizard_compress_liz.h:43-165. Outputs sizes via
+// the n* pointers; returns 0, or -1 if a capacity is exceeded.
+int64_t ltpu_emit_liz_far(const uint8_t* src, int64_t n, const int64_t* st,
+                          const int64_t* ml, const int64_t* off, int64_t nt,
+                          uint8_t* flags, int64_t flags_cap, int64_t* nflags,
+                          uint8_t* lits, int64_t lits_cap, int64_t* nlits,
+                          uint8_t* off16, int64_t* n16,
+                          uint8_t* off24, int64_t* n24) {
+  LizAcc a;
+  int64_t anchor = 0;
+  for (int64_t i = 0; i < nt; ++i) {
+    uint32_t o = (uint32_t)off[i];
+    uint32_t eff = (a.last_off != 0 && o == a.last_off) ? 0 : o;
+    emit_seq_liz(src, (size_t)anchor, (size_t)st[i], (size_t)ml[i], eff, a);
+    anchor = st[i] + ml[i];
+  }
+  a.lits.insert(a.lits.end(), src + anchor, src + n);
+  if ((int64_t)a.flags.size() > flags_cap ||
+      (int64_t)a.lits.size() > lits_cap)
+    return -1;
+  std::memcpy(flags, a.flags.data(), a.flags.size());
+  std::memcpy(lits, a.lits.data(), a.lits.size());
+  std::memcpy(off16, a.off16.data(), a.off16.size());
+  std::memcpy(off24, a.off24.data(), a.off24.size());
+  *nflags = (int64_t)a.flags.size();
+  *nlits = (int64_t)a.lits.size();
+  *n16 = (int64_t)a.off16.size();
+  *n24 = (int64_t)a.off24.size();
+  return 0;
+}
+
 }  // extern "C"

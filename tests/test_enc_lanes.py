@@ -540,3 +540,87 @@ def test_encode_blocks_sharded_multichip():
     assert got == want, "sharded != single-device streams"
     for d, e in zip(blocks, got):
         assert bytes(decompress(e, max_out=max(len(d), 1))) == d
+
+
+# ------------------------------------------------------- off24 far maps
+
+FAR_CFG = EncCfg(n=8192, hl=10, maxoff=2047, far=1, far_dist=2048,
+                 probes=(8, 12, 16, 24, 32, 64, 128, 256))
+
+
+def _mk_far_blocks(seed=0):
+    """Blocks whose redundancy sits inside the far window
+    [far_dist, 2*far_dist-2] = [2048, 4094]."""
+    from lizard_tpu.utils.datagen import gen, text_like
+    rng = np.random.default_rng(seed)
+    head = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    return [
+        head[:3000] + head[:3000] + head[:2000],  # repeats at d=3000
+        gen(3000, seed, proba=0.5) + head[:2500] + head[:2500],
+        text_like(CFG.n, seed + 1),             # near+far mixed text
+        head[:1500] + head[:1500] + head[:1500],  # below + at far_dist
+        bytes(rng.integers(0, 256, 8192, dtype=np.uint8)),
+        b"\x37" * 6000,                         # RLE
+        gen(100, seed + 2, proba=0.6),
+        b"",
+    ]
+
+
+def test_far_p1_matches_reference():
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import unpack_d16
+    blocks = _mk_far_blocks(5)
+    w32i, meta = pack_blocks(blocks, FAR_CFG)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), FAR_CFG,
+                     interpret=True)
+    ref, _ = p1_reference(blocks, FAR_CFG)
+    for m in range(FAR_CFG.nmaps):
+        got = unpack_d16(packed, FAR_CFG, m)
+        for b in range(8):
+            neq = np.nonzero(got[b] != ref[b][m])[0]
+            assert neq.size == 0, (
+                f"map {m} block {b}: {neq.size} mismatches at {neq[:5]}: "
+                f"got {got[b][neq[:5]]} want {ref[b][m][neq[:5]]}")
+
+
+def test_far_passA_matches_reference():
+    import jax.numpy as jnp
+    from lizard_tpu.ops.enc_lanes import pA_call, p2_reference, \
+        unpack_tokens
+    blocks = _mk_far_blocks(6)
+    w32i, meta = pack_blocks(blocks, FAR_CFG)
+    packed = p1_call(jnp.asarray(w32i), jnp.asarray(meta), FAR_CFG,
+                     interpret=True)
+    tok = pA_call(jnp.asarray(w32i), packed, jnp.asarray(meta), FAR_CFG,
+                  interpret=True)
+    got = unpack_tokens(np.asarray(tok), FAR_CFG)
+    want = p2_reference(blocks, FAR_CFG, None)
+    for b in range(8):
+        assert got[b] == want[b], (
+            f"block {b}: first diff "
+            f"{next((i, x, y) for i, (x, y) in enumerate(zip(got[b], want[b])) if x != y)}"
+            if len(got[b]) == len(want[b]) else
+            f"block {b}: {len(got[b])} vs {len(want[b])} tokens")
+    # the far map must actually contribute: the pure-far block's parse
+    # must contain far-class matches (d >= far_dist, ml >= 16)
+    fars = [t for t in got[0] if t[2] >= FAR_CFG.far_dist]
+    assert fars and all(t[1] >= 16 for t in fars)
+
+
+def test_far_roundtrip_level21():
+    """End-to-end: level-21 lane encode of far-redundant data decodes
+    bit-exactly and beats the near-only ratio."""
+    import dataclasses
+    from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+    from lizard_tpu.ref.block_decode import decompress
+    rng = np.random.default_rng(17)
+    head = rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+    d = head + head + head[:2000]          # repeats at distance 3000
+    far_cfg = dataclasses.replace(FAR_CFG, lazy=1)
+    comp = encode_blocks_lanes([d], level=21, cfg=far_cfg,
+                               interpret=True)[0]
+    assert bytes(decompress(comp, max_out=len(d))) == d
+    near_cfg = dataclasses.replace(far_cfg, far=0)
+    comp_near = encode_blocks_lanes([d], level=21, cfg=near_cfg,
+                                    interpret=True)[0]
+    assert len(comp) < len(comp_near) - 2000, (len(comp), len(comp_near))

@@ -107,6 +107,48 @@ def test_native_emit_parity():
         f2, l2 = emit_tokens(d, st, ml, off)
         got = runtime.emit_lz4(d, st, ml, off)
         assert got == (f2.tobytes(), l2.tobytes())
-        f3, l3, o3 = emit_tokens_liz(d, st, ml, off)
+        f3, l3, o3, o24 = emit_tokens_liz(d, st, ml, off)
+        assert len(o24) == 0            # level-11 parse: near-only
         got = runtime.emit_liz(d, st, ml, off)
         assert got == (f3.tobytes(), l3.tobytes(), o3.tobytes())
+
+
+def test_native_emit_liz_far_parity():
+    """ltpu_emit_liz_far vs the scalar python emitter on token lists
+    containing off24-class offsets, and decodability of the assembled
+    block by the oracle decoder."""
+    import numpy as np
+    import pytest
+    from lizard_tpu import runtime
+    from lizard_tpu.ops.enc_lanes import (_emit_tokens_liz_scalar,
+                                          assemble_block)
+    from lizard_tpu.ref.block_decode import decompress
+    from lizard_tpu.utils.datagen import gen
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    head = rng.integers(0, 256, 70_000, dtype=np.uint8).tobytes()
+    st = np.array([70_064, 70_128], np.int64)
+    ml = np.array([40, 40], np.int64)
+
+    # far match (70064 back, ml 40) then a near match (off 64)
+    d1 = head + b"A" * 64 + head[:40] + b"B" * 24 + head[:40]
+    off1 = np.array([70_064, 64], np.int64)
+    fp, lp, o16p, o24p = _emit_tokens_liz_scalar(d1, st, ml, off1)
+    got = runtime.emit_liz_far(d1, st, ml, off1)
+    assert got == (fp.tobytes(), lp.tobytes(), o16p.tobytes(),
+                   o24p.tobytes())
+    assert len(o24p) == 3               # exactly one off24 offset
+    blk = assemble_block(d1, fp, lp, o16p, huff=False, off24=o24p)
+    assert decompress(bytes([21]) + blk, max_out=len(d1)) == d1
+
+    # rep collapsing of an off24 offset (second token reuses 70064)
+    d2 = head + b"A" * 64 + head[:40] + b"B" * 24 + head[64:104]
+    off2 = np.array([70_064, 70_064], np.int64)
+    f2, l2, a16, a24 = _emit_tokens_liz_scalar(d2, st, ml, off2)
+    got2 = runtime.emit_liz_far(d2, st, ml, off2)
+    assert got2 == (f2.tobytes(), l2.tobytes(), a16.tobytes(),
+                    a24.tobytes())
+    assert len(a24) == 3                # the rep emits no second offset
+    blk2 = assemble_block(d2, f2, l2, a16, huff=False, off24=a24)
+    assert decompress(bytes([21]) + blk2, max_out=len(d2)) == d2
