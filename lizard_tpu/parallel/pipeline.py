@@ -275,3 +275,95 @@ def encode_blocks_sharded(blocks, level=10, cfg=None, mesh: Mesh = None,
                 res.append(bytes([level]) + emit_inner(d, st, ml, off,
                                                        level))
     return res
+
+
+def decode_streams_sharded_lanes(streams: list[bytes], mesh: Mesh,
+                                 interpret=False, spb=None, rtiles=None,
+                                 groups=None, il=4, entropy="host"):
+    """Decode independent compressed streams with the PRODUCTION Pallas
+    lane kernel (ops/lane_decode._lane_call — the same kernel the
+    single-chip bench times) under shard_map over the mesh's dp axis:
+    shard_map adds only the dp scatter and the ordered output gather
+    (the format's only cross-device communication, SURVEY.md §2.5).
+
+    Streams are grouped contiguously per device; every device runs one
+    kernel instance over its shard's lane batch. All shards must share
+    one codeword family and schedule to equal chain depth C (independent
+    frame blocks give C=1). Returns the decoded bytes per stream."""
+    from lizard_tpu.ops.lane_decode import (
+        GROUPS, LIZ_RING_TILES, RING_TILES, SUPERS_PER_BLOCK, _lane_call,
+        prepare_lane_batch, unpack_lane_output)
+    from lizard_tpu.ops.split import split_streams
+
+    if spb is None:
+        spb = SUPERS_PER_BLOCK
+    if groups is None:
+        groups = GROUPS
+    n = int(mesh.devices.size)
+    bounds = [len(streams) * k // n for k in range(n + 1)]
+    shards = [streams[bounds[k]:bounds[k + 1]] for k in range(n)]
+
+    lanes, batches = [], []
+    fam = None
+    for shard in shards:
+        batch = split_streams(shard, entropy=entropy)
+        lane = prepare_lane_batch(batch, groups=groups)
+        if batch.n_blocks:
+            if fam is None:
+                fam = lane.family
+            elif fam != lane.family:
+                raise ValueError("mixed codeword families across shards")
+        lanes.append(lane)
+        batches.append(batch)
+    fam = fam or 0
+    C = max(lane.C for lane in lanes)
+    if any(lane.C not in (1, C) for lane in lanes):
+        raise ValueError("unequal chain depths across shards")
+    for lane in lanes:
+        if lane.C != C:       # only possible for empty/short shards
+            raise ValueError("unequal chain depths across shards")
+    if rtiles is None:
+        rtiles = LIZ_RING_TILES if fam else RING_TILES
+    T = C * spb
+
+    R = max(lane.pool.shape[0] for lane in lanes)
+    pool = np.zeros((n, R, 128), np.int32)
+    metas = []
+    for k, lane in enumerate(lanes):
+        pool[k, :lane.pool.shape[0]] = lane.pool
+        m = lane.meta
+        want_rows = (6 if fam else 4) * C
+        if m.shape[0] != want_rows:      # empty shard of the other family
+            m2 = np.full((want_rows, 128), -1, np.int32)
+            m2[0:2 * C] = 0
+            if fam:
+                m2[4 * C:] = 0
+            m = m2
+        metas.append(m)
+    meta = np.stack(metas)
+
+    # check_vma=False: pallas_call out_shapes carry no vma annotation
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
+                       check_vma=False)
+    def step(pool_s, meta_s):
+        return _lane_call(pool_s[0], meta_s[0], C=C, T=T, spb=spb,
+                          rtiles=rtiles, groups=groups, il=il, family=fam,
+                          interpret=interpret)[None]
+
+    out = np.asarray(jax.jit(step)(jnp.asarray(pool), jnp.asarray(meta)))
+
+    results = []
+    for k, (lane, batch) in enumerate(zip(lanes, batches)):
+        blocks = unpack_lane_output(out[k], lane, T, spb=spb, groups=groups)
+        if any(b is None for b in blocks):
+            raise ValueError("far-window overflow in sharded decode")
+        i = 0
+        for sid in range(int(batch.stream_id.max()) + 1
+                         if batch.n_blocks else 0):
+            parts = []
+            while i < batch.n_blocks and batch.stream_id[i] == sid:
+                parts.append(blocks[i])
+                i += 1
+            results.append(b"".join(parts))
+    return results

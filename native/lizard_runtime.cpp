@@ -2982,10 +2982,11 @@ int64_t ltpu_emit_liz_far(const uint8_t* src, int64_t n, const int64_t* st,
   if ((int64_t)a.flags.size() > flags_cap ||
       (int64_t)a.lits.size() > lits_cap)
     return -1;
-  std::memcpy(flags, a.flags.data(), a.flags.size());
-  std::memcpy(lits, a.lits.data(), a.lits.size());
-  std::memcpy(off16, a.off16.data(), a.off16.size());
-  std::memcpy(off24, a.off24.data(), a.off24.size());
+  // empty vectors may return data() == nullptr: UB for memcpy even at n=0
+  if (!a.flags.empty()) std::memcpy(flags, a.flags.data(), a.flags.size());
+  if (!a.lits.empty()) std::memcpy(lits, a.lits.data(), a.lits.size());
+  if (!a.off16.empty()) std::memcpy(off16, a.off16.data(), a.off16.size());
+  if (!a.off24.empty()) std::memcpy(off24, a.off24.data(), a.off24.size());
   *nflags = (int64_t)a.flags.size();
   *nlits = (int64_t)a.lits.size();
   *n16 = (int64_t)a.off16.size();

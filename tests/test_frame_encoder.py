@@ -113,3 +113,70 @@ def test_decoder_trim_does_not_break_checksum():
         out += dec.update(frame[i:i + 33])
     assert bytes(out) == data
     assert dec.finished
+
+
+@pytest.mark.slow
+def test_gigabyte_stream_bounded_memory():
+    """1 GB through the incremental encoder + resumable decoder in 1 MB
+    chunks with O(window) memory — the reference tests 6 GB streams in
+    bounded memory (tests/Makefile:229-232); this is the scaled CI-able
+    equivalent (marked slow, ~2-4 min with the native backend)."""
+    import resource
+
+    from lizard_tpu import runtime
+    from lizard_tpu.frame import FrameDecoder, FrameEncoder
+    if not runtime.available():
+        pytest.skip("native runtime unavailable (oracle would take hours)")
+
+    import numpy as np
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    CHUNK = 1 << 20
+    N = 1 << 30
+    base = np.frombuffer(
+        (b"the quick brown fox jumps over the lazy dog %d " % 7) * 40_000,
+        np.uint8)[:CHUNK].copy()
+    def make_chunk(pos):
+        chunk = base.copy()
+        chunk[:8] = np.frombuffer(pos.to_bytes(8, "little"), np.uint8)
+        return chunk.tobytes()
+
+    def expect(pos0, ln):
+        """Regenerate stream bytes [pos0, pos0+ln) without holding the
+        stream (memory-bounded verification)."""
+        parts = []
+        p = pos0
+        while p < pos0 + ln:
+            c0 = (p // CHUNK) * CHUNK
+            part = make_chunk(c0)[p - c0:p - c0 + (pos0 + ln - p)]
+            parts.append(part)
+            p += len(part)
+        return b"".join(parts)
+
+    enc = FrameEncoder(level=11, block_size_id=4, content_checksum=True,
+                       backend="native")
+    dec = FrameDecoder()
+    total_out = 0
+    comp_total = 0
+    pos = 0
+    while pos < N:
+        b = make_chunk(pos)
+        comp = (enc.begin() if pos == 0 else b"") + enc.update(b)
+        comp_total += len(comp)
+        out = dec.update(comp)
+        if out:
+            assert out == expect(total_out, len(out))
+            total_out += len(out)
+        pos += CHUNK
+    tail = enc.end()
+    comp_total += len(tail)
+    out = dec.update(tail)
+    if out:
+        assert out == expect(total_out, len(out))
+        total_out += len(out)
+    assert dec.finished
+    assert total_out == N
+    assert comp_total < N // 2
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # O(window) bound: peak RSS growth stays far below the 1 GB stream
+    # (window 16 MB + tmp buffers + allocator slack)
+    assert rss1 - rss0 < 700_000, f"RSS grew {rss1 - rss0} KB"

@@ -84,7 +84,7 @@ def test_production_liz_big_window_far_matches(level):
 
 
 @pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
-@pytest.mark.parametrize("level", (10, 11, 21, 14, 17, 19))
+@pytest.mark.parametrize("level", (10, 11, 21, 14, 17, 19, 24))
 def test_encoder_production_parity(level):
     """Pass A on the real chip at production geometry (128 KB blocks,
     64 KB reach for 11+; 17/19 = hash-chain prewalk tiers) must emit
@@ -162,3 +162,48 @@ def test_huf128_hardware():
     assert len(outs) == len(keep)
     for i, (got, want) in enumerate(zip(outs, keep)):
         assert got == want, f"blob {i} mismatch ({len(got)}/{len(want)})"
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+def test_sharded_dp1_matches_direct():
+    """The production lane kernel under shard_map on a 1-device mesh
+    must produce the direct call's exact output (the dp step the bench's
+    decode_sharded_dp1 row times; the 8-way CPU-mesh variant runs in
+    dryrun_multichip)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from bench import build_corpus, compress_blocks
+    from lizard_tpu.ops.lane_decode import decompress_lanes
+    from lizard_tpu.parallel.pipeline import decode_streams_sharded_lanes
+
+    data = build_corpus(4 << 20)
+    streams = compress_blocks(data, 10)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    got = decode_streams_sharded_lanes(streams, mesh, il=4)
+    want = decompress_lanes(streams, il=4, entropy="host")
+    assert got == want
+    assert b"".join(got) == data
+
+
+@pytest.mark.skipif(not _have_tpu(), reason="needs RUN_TPU_TESTS=1 + TPU")
+def test_far_off24_production_ratio():
+    """Level-21 lane encode with the off24 far table on data whose
+    redundancy sits at 64-128 KB distances: streams must round-trip, use
+    the off24 class, and clearly beat the near-only configuration."""
+    import dataclasses
+    import numpy as np
+    from lizard_tpu.ops.enc_lanes import cfg_for_level, encode_blocks_lanes
+    from lizard_tpu.ref.block_decode import decompress
+
+    rng = np.random.default_rng(99)
+    head = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    block = head + head[:31_000]           # repeat at distance 100 000
+    cfg = cfg_for_level(21)
+    assert cfg.far == 1
+    comp = encode_blocks_lanes([block], level=21, cfg=cfg)[0]
+    assert bytes(decompress(comp, max_out=len(block))) == block
+    near = encode_blocks_lanes(
+        [block], level=21,
+        cfg=dataclasses.replace(cfg, far=0))[0]
+    assert len(comp) < len(near) - 10_000, (len(comp), len(near))
