@@ -119,131 +119,97 @@ def compress_blocks(data: bytes, level: int) -> list[bytes]:
 def bench_decode_level(data, level, seconds, extra=None):
     """Fastest-of-N on-device decode of `data` at `level`; returns
     (GB/s, ratio, iters, best_ms). For Huffman levels (30-49) the timed
-    region covers BOTH on-device stages: the lane-packed Huff0 kernel
-    (ops/huf128.py) over the level's entropy blobs plus the LZ lane
-    kernel; the HOST staging between/around the stages (stream split +
-    lane-batch build) is measured separately and reported via `extra`
-    (dict) as host_split_ms / host_stage_ms so the 30-49 rows' caveat is
-    quantified, not hidden (the reference's timed region includes its
+    region covers the FUSED device pipeline (ops/fuse.py): the
+    cell-chained Huff0 kernel + rank translation + the compact pass that
+    rebuilds the streams inside the lane pool (one-shot AOT-timed), plus
+    the pipelined LZ lane kernel reading that pool. Decoded entropy
+    bytes never return to the host; the remaining host work (header
+    parse + pool layout + huf schedule) is reported via `extra` as
+    host_stage_ms (the reference's timed region includes its own
     stream-header parsing, programs/bench.c:151-340)."""
     import numpy as np
     import jax.numpy as jnp
 
     from lizard_tpu.ops.lane_decode import (
         GROUPS, LIZ_RING_TILES, RING_TILES, SUPERS_PER_BLOCK, _lane_call,
-        prepare_lane_batch, unpack_lane_output)
-    from lizard_tpu.ops import split as split_mod
-    from lizard_tpu.ops.split import (finalize, new_accumulator,
-                                      split_stream, split_streams)
+        unpack_lane_output)
 
     streams = compress_blocks(data, level)
     ratio = sum(map(len, streams)) / len(data)
 
-    # split while collecting the entropy blobs (decoded host-side here for
-    # LZ staging; the huf kernel is timed on the same blobs below)
-    pend = []
-
-    def hd(blob, orig):
-        pend.append((blob, orig))
-        out = split_mod.huf_decompress(blob, orig)
-        return np.frombuffer(out, np.uint8)
+    # FUSED plan: headers parsed host-side only; Huffman bytes never
+    # return to the host (ops/fuse.py: huf128 -> translate -> compact
+    # into the lane pool, all on device)
+    from lizard_tpu.ops.fuse import _compact_call, build_fused_plan
 
     t_host0 = time.perf_counter()
-    acc = new_accumulator()
-    family = None
-    for i, s in enumerate(streams):
-        family = split_stream(s, acc, i, hd)
-    batch = finalize(acc, family)
-    t_host_split = time.perf_counter() - t_host0
-
-    t_huf_best = 0.0
-    if pend:
-        # One-shot AOT-timed entropy stage: the axon runtime serves
-        # REPEAT executions of an executable from a cache (first call
-        # real, later calls ~0.1 ms), so the only honest protocol is to
-        # AOT-compile and time exactly the FIRST execution. Output is
-        # verified against the host entropy decoder.
-        from lizard_tpu.ops.huf128 import (prepare_huf128, _huf128_call,
-                                           _translate_call, pick_groups)
-        from lizard_tpu.ops import split as split_mod
-        cap = 4096                  # memory bound; cells chain streams
-        pend = sorted(pend, key=lambda t: -t[1])   # length-homogeneous
-        t_huf_best = 0.0
-        for b0 in range(0, len(pend), cap):
-            sub = pend[b0:b0 + cap]
-            g = pick_groups(4 * len(sub))
-            hb = prepare_huf128(sub, groups=g)
-            hm, hv, hp, hl, ht = map(jnp.asarray,
-                                     (hb.meta_s, hb.vmeta, hb.pool,
-                                      hb.luts, hb.tmeta))
-            c1 = _huf128_call.lower(hm, hv, hp, T=hb.T, groups=g, il=g,
-                                    out_rows=hb.out_rows).compile()
-            c2 = _translate_call.lower(
-                ht, jnp.zeros((hb.out_rows, 128), jnp.int32),
-                hl).compile()
-            for a in (hm, hv, hp, hl, ht):   # pre-stage inputs in HBM
-                a.block_until_ready()
-            # warm the executables with a same-shape DECOY (all cells
-            # dead: meta/vmeta -1) so the timed first real execution
-            # excludes one-time executable load; the decoy's content
-            # differs, so a content-keyed execution cache cannot serve
-            # the real run from it — and the verification below would
-            # catch it if one did
-            import jax
-            fence = jax.jit(lambda x: jnp.sum(x))
-            zm = jnp.full_like(hm, -1)
-            zv = jnp.full_like(hv, -1)
-            float(fence(c2(ht, c1(zm, zv, hp), hl)))
-            # calibrate the fixed scalar-sync round trip (the tunnel
-            # costs ~60 ms per blocking sync) and charge the kernel
-            # only its execution time beyond it
-            tiny = jnp.ones((8, 128), jnp.int32)
-            float(fence(tiny))
-            rtts = []
-            for _ in range(3):
-                tr = time.perf_counter()
-                float(fence(tiny))
-                rtts.append(time.perf_counter() - tr)
-            rtt = sorted(rtts)[1]
-            # The timed run's fence is a DISTINCT executable (different
-            # computation, pre-compiled outside the timed region) that has
-            # never executed: even an executable-keyed execution cache
-            # (observed on axon for some kernels, NOTES_ROUND4.md) cannot
-            # serve its result without actually draining the device queue,
-            # so the fence provably waits for c1/c2. (The generic `fence`
-            # above already executed on the decoy output, so it could in
-            # principle return without waiting.)
-            salt = b0 + 1
-            timed_fence = jax.jit(
-                lambda x: jnp.sum(x) + jnp.int32(salt)).lower(
-                    jax.ShapeDtypeStruct((hb.out_rows, 128),
-                                         jnp.int32)).compile()
-            t0 = time.perf_counter()
-            r = c1(hm, hv, hp)
-            o = c2(ht, r, hl)
-            float(timed_fence(o))
-            t_huf_best += max(time.perf_counter() - t0 - rtt, 0.0)
-            flat = np.asarray(o).astype(np.int32).tobytes()
-            for (blob, orig), pb in zip(sub, hb.tasks):
-                if isinstance(pb, tuple):
-                    continue
-                got = b"".join(flat[r0 * 512:r0 * 512 + n]
-                               for _, r0, n in sorted(pb))
-                assert got == split_mod.huf_decompress(blob, orig), \
-                    "huf kernel output mismatch"
-    t_host0 = time.perf_counter()
-    lane = prepare_lane_batch(batch)
+    lane, batch, hb, tm, pool_np = build_fused_plan(streams)
     t_host_stage = time.perf_counter() - t_host0
     if extra is not None:
-        # host staging costs AROUND the timed device region: note the
-        # split above ran with the slow python-fallback entropy decode
-        # when measuring huffman levels; the production path
-        # (decompress_lanes) batches blobs onto the huf kernel instead
-        extra["host_split_ms"] = round(t_host_split * 1e3, 1)
+        # the only remaining host work around the timed device region
+        # (header parse + pool layout + huf schedule)
         extra["host_stage_ms"] = round(t_host_stage * 1e3, 1)
+
+    t_huf_best = 0.0
+    if hb is not None:
+        # One-shot AOT-timed entropy+compact stage: the axon runtime
+        # serves REPEAT executions of an executable from a cache (first
+        # call real, later calls ~0.1 ms), so the only honest protocol
+        # is to AOT-compile and time exactly the FIRST execution; the
+        # full-pipeline round-trip check below verifies the output.
+        from lizard_tpu.ops.huf128 import _huf128_call, _translate_call
+        import jax
+        g = hb.groups
+        hm, hv, hp, hl, ht = map(jnp.asarray,
+                                 (hb.meta_s, hb.vmeta, hb.pool,
+                                  hb.luts, hb.tmeta))
+        tmj = jnp.asarray(tm)
+        c1 = _huf128_call.lower(hm, hv, hp, T=hb.T, groups=g, il=g,
+                                out_rows=hb.out_rows).compile()
+        c2 = _translate_call.lower(
+            ht, jnp.zeros((hb.out_rows, 128), jnp.int32), hl).compile()
+        c3 = _compact_call.lower(
+            tmj, jax.ShapeDtypeStruct((hb.out_rows, 128), jnp.int32),
+            jnp.asarray(pool_np), R=pool_np.shape[0]).compile()
+        for a in (hm, hv, hp, hl, ht, tmj):   # pre-stage inputs in HBM
+            a.block_until_ready()
+        # warm the executables with a same-shape DECOY (all cells dead:
+        # meta/vmeta -1) so the timed first real execution excludes
+        # one-time executable load; the decoy's content differs, so a
+        # content-keyed execution cache cannot serve the real run
+        fence = jax.jit(lambda x: jnp.sum(x))
+        zm = jnp.full_like(hm, -1)
+        zv = jnp.full_like(hv, -1)
+        decoy_pool = jnp.asarray(pool_np)      # donated by c3
+        float(fence(c3(tmj, c2(ht, c1(zm, zv, hp), hl), decoy_pool)))
+        # calibrate the fixed scalar-sync round trip (the tunnel costs
+        # ~60 ms per blocking sync) and charge the kernels only their
+        # execution time beyond it
+        tiny = jnp.ones((8, 128), jnp.int32)
+        float(fence(tiny))
+        rtts = []
+        for _ in range(3):
+            tr = time.perf_counter()
+            float(fence(tiny))
+            rtts.append(time.perf_counter() - tr)
+        rtt = sorted(rtts)[1]
+        # the timed run's fence is a DISTINCT never-executed executable
+        # (pre-compiled outside the timed region): even an
+        # executable-keyed execution cache cannot return it without
+        # draining the device queue
+        timed_fence = jax.jit(
+            lambda x: jnp.sum(x) + jnp.int32(level)).lower(
+                jax.ShapeDtypeStruct(pool_np.shape, jnp.int32)).compile()
+        t0 = time.perf_counter()
+        r = c1(hm, hv, hp)
+        o = c2(ht, r, hl)
+        pool = c3(tmj, o, jnp.asarray(pool_np))
+        float(timed_fence(pool))
+        t_huf_best = max(time.perf_counter() - t0 - rtt, 0.0)
+    else:
+        pool = jnp.asarray(pool_np)
     T = lane.C * SUPERS_PER_BLOCK
     rtiles = LIZ_RING_TILES if lane.family else RING_TILES
-    pool = jnp.asarray(lane.pool)
     meta = jnp.asarray(lane.meta)
 
     def run():

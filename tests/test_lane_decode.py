@@ -266,3 +266,41 @@ def test_liz_chained_no_far_stays_on_kernel(monkeypatch):
     batch, _ = _chained_batch([data], 22, 2048)
     outs = _decode_batch(batch)
     assert b"".join(outs) == data
+
+
+def test_fused_entropy_pipeline():
+    """decompress_lanes_fused: huf128 -> translate -> compact-into-pool
+    -> lane decode with no host entropy staging, vs the oracle, on
+    Huffman-level streams (both families). Shrunken lane geometry;
+    the huf/compact kernels run production logic."""
+    from lizard_tpu.ops.fuse import decompress_lanes_fused
+    from lizard_tpu.utils.datagen import text_like
+
+    for level in (35, 41):
+        datas = [text_like(1900, seed=level * 10 + i) for i in range(5)]
+        datas.append(gen(1500, seed=level, proba=0.85))
+        streams = [compress(d, level) for d in datas]
+        got = decompress_lanes_fused(streams, interpret=True, spb=SPB,
+                                     rtiles=RTILES, groups=GROUPS, il=1)
+        for i, (g, w) in enumerate(zip(got, datas)):
+            assert g == w, (
+                f"L{level} stream {i}: first diff at "
+                f"{next((k for k in range(min(len(g), len(w))) if g[k] != w[k]), 'len')} "
+                f"({len(g)}/{len(w)})")
+
+
+def test_fused_pipeline_raw_mix():
+    """Streams whose blocks mix huffman and raw/stored forms + an
+    incompressible stream (no huf at all) through the fused path."""
+    import numpy as np
+    from lizard_tpu.ops.fuse import decompress_lanes_fused
+    from lizard_tpu.utils.datagen import text_like
+
+    rng = np.random.default_rng(8)
+    datas = [text_like(2000, seed=1),
+             rng.integers(0, 256, 1800, dtype=np.uint8).tobytes(),
+             b"\x11" * 1700]
+    streams = [compress(d, 31) for d in datas]
+    got = decompress_lanes_fused(streams, interpret=True, spb=SPB,
+                                 rtiles=RTILES, groups=GROUPS, il=1)
+    assert got == datas
