@@ -509,8 +509,20 @@ def decompress_frame_lanes(src: bytes, verify_checksum: bool = True,
             raise FrameError("mixed codeword families")
         entries.append(("stream", len(streams)))
         streams.append(blob)
-    decoded = decompress_lanes(streams, interpret=interpret,
-                               **lane_kw) if streams else []
+    decoded = []
+    if streams:
+        use_fused = any(LEVELS[s[0]].codewords is not None and s[0] >= 30
+                        for s in streams if s)
+        if use_fused:
+            # Huffman levels: the fused device pipeline (ops/fuse.py)
+            # keeps decoded entropy bytes on device (it falls back to
+            # the host-staged path itself when the batch is unfusable)
+            from lizard_tpu.ops.fuse import decompress_lanes_fused
+            decoded = decompress_lanes_fused(streams, interpret=interpret,
+                                             **lane_kw)
+        else:
+            decoded = decompress_lanes(streams, interpret=interpret,
+                                       **lane_kw)
     out = bytearray()
     for kind, v in entries:
         out += v if kind == "stored" else decoded[v]
