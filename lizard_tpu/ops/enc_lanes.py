@@ -1578,11 +1578,13 @@ def encode_blocks_lanes(blocks, level=10, cfg: EncCfg = None,
     (p1 match finder + pass-A parse on device, emission on host).
     All four level families: 10-19 fastLZ4, 20-29 LIZv1, 30-39
     fastLZ4+Huffman, 40-49 LIZv1+Huffman (same parse; the entropy stage
-    runs through the native Huff0 encoder on host; the LIZv1 off24
-    class is unused because maxoff < 2^16 — output stays valid, ratio
-    trades the reference's multi-MB window). Returns one container
-    stream (level byte + inner block) per input, decodable by liblizard
-    and this repo's decoders."""
+    runs through the native Huff0 encoder on host). LIZv1 families use
+    the full codeword set including the off24 class (cfg.far: delayed
+    far table, within-block 64-128 KB reach, MM_LONGOFF enforced);
+    reach beyond one block still trades ratio against the reference's
+    multi-MB window. Returns one container stream (level byte + inner
+    block) per input, decodable by liblizard and this repo's
+    decoders."""
     import jax
     import jax.numpy as jnp
     if cfg is None:
