@@ -72,6 +72,18 @@ def main(argv=None):
         decompress_lanes(streams10)  # compile
         bench("Lizard_decompress -10 (TPU lanes)",
               lambda: decompress_lanes(streams10))
+        # fused entropy path (huf128 -> compact -> lanes, ops/fuse.py)
+        from lizard_tpu.ops.fuse import decompress_lanes_fused
+        streams41 = [compress(c, 41) for c in chunks]
+        decompress_lanes_fused(streams41)  # compile
+        bench("Lizard_decompress -41 (TPU fused)",
+              lambda: decompress_lanes_fused(streams41))
+        # lane encoder (p1 + pass A on device, emission on host)
+        from lizard_tpu.ops.enc_lanes import encode_blocks_lanes
+        encode_blocks_lanes(chunks[:8], level=11)  # compile
+        bench("Lizard_compress -11 (TPU lanes)",
+              lambda: encode_blocks_lanes(chunks[:8], level=11),
+              sum(len(c) for c in chunks[:8]))
     hc = huf_compress(data[:128 * 1024])
     if hc:
         bench("HUF_compress", lambda: huf_compress(data[:128 * 1024]),
