@@ -20,9 +20,26 @@ Flow (decompress_lanes_fused):
 Per mode-1 pool row the metadata carries [mode, relbase, seg, orig,
 s0..s3]: relbase = byte offset of the row within its blob, seg =
 ceil(orig/4) (the Huff0 segment size, huf_decompress.c:231-321), s0..s3
-= the four segments' byte positions in the translate output. The kernel
-computes, per byte, which segment serves it and gathers through up to 8
-candidate source rows (two per segment) staged by DMA.
+= the four segments' byte positions in the translate output.
+
+The kernel is VECTORIZED over 8 pool rows per grid step. Key structural
+fact (prepare_huf128): every segment is contiguous and 512-aligned in
+the translate output, so for a fixed segment the source row needed by
+pool row r is `r + const` — the 8 rows of a grid block draw each
+segment's bytes from one or two runs of 8 CONSECUTIVE source rows whose
+j-th row serves exactly sublane j. The host enumerates those runs (at
+most 8 per block; blocks that would need more — only possible with
+several tiny blobs packed into one 8-row block — fall back to host
+materialization of the offending blobs) and the kernel stages each run
+with ONE 4 KB DMA, then gathers per byte plane with a per-sublane
+take_along_axis + run-id match, merging mode-0 rows from the staged
+pool tile. Per 8-row block: <=9 concurrent 4 KB DMAs + 32 vector
+gathers, vs the scalar-per-row first version's 8 serialized 512 B DMAs
++ 32 gathers PER ROW (measured 1.4 s / 32 MB at level 41 on hardware;
+this version is ~2 orders faster).
+
+tm row-0 lanes 8..15 of each 8-row block carry the block's run starts
+(-1 = unused slot), lane 16 the block-active flag.
 """
 
 import functools
@@ -38,101 +55,90 @@ def _shr(x, n):
     return jax.lax.shift_right_logical(x, n.astype(jnp.uint32))
 
 
-def _compact_kernel(R, tm, src_hbm, pool_hbm, out_hbm, slots, stage, sems):
-    """Grid step = 8 pool rows. tm block (8,128): per row, lanes 0..7 =
-    [mode, relbase, seg, orig, s0, s1, s2, s3]."""
+def _compact_kernel(R, tm, src_hbm, pool_hbm, out_hbm, slots, pstage,
+                    ostage, sems):
+    """Grid step = 8 pool rows, fully vectorized. tm block (8,128):
+    per row, lanes 0..7 = [mode, relbase, seg, orig, s0, s1, s2, s3];
+    row 0 lanes 8..15 = the block's staged-run start rows (-1 unused),
+    row 0 lane 16 = block-active flag."""
     pid = pl.program_id(0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    active = tm[0, 16]
 
-    for j in range(8):
-        r = pid * 8 + j
-        mode = tm[j, 0]
+    @pl.when(active == 1)
+    def _():
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-        @pl.when((mode == 1) & (r < R))
-        def _(j=j, r=r):
-            relbase = tm[j, 1]
-            seg = tm[j, 2]
-            orig = tm[j, 3]
-            ss = [tm[j, 4 + k] for k in range(4)]
+        # stage the pool tile (mode-0 passthrough merge source) and the
+        # <=8 consecutive-row source runs, all DMAs in flight at once
+        cpp = pltpu.make_async_copy(pool_hbm.at[pl.ds(pid * 8, 8)],
+                                    pstage, sems.at[1])
+        cpp.start()
+        n_runs = jnp.int32(0)
+        for p in range(8):
+            sp = tm[0, 8 + p]
 
-            # stage up to 2 source rows per segment (slots 2k, 2k+1)
-            n_dma = 0
-            for k in range(4):
-                lo = jnp.maximum(relbase, k * seg)
-                hi = jnp.minimum(jnp.minimum(relbase + 512, (k + 1) * seg),
-                                 orig)
-                have = hi > lo
-                r0 = (ss[k] + (lo - k * seg)) >> 9
-                r1 = (ss[k] + jnp.maximum(hi - 1 - k * seg, 0)) >> 9
+            @pl.when(sp >= 0)
+            def _(p=p, sp=sp):
+                pltpu.make_async_copy(src_hbm.at[pl.ds(sp, 8)],
+                                      slots.at[p], sems.at[0]).start()
 
-                @pl.when(have)
-                def _(k=k, r0=r0, r1=r1):
-                    pltpu.make_async_copy(
-                        src_hbm.at[pl.ds(r0, 1)],
-                        slots.at[pl.ds(2 * k, 1)], sems.at[0]).start()
-                    pltpu.make_async_copy(
-                        src_hbm.at[pl.ds(jnp.maximum(r1, r0), 1)],
-                        slots.at[pl.ds(2 * k + 1, 1)], sems.at[1]).start()
+            n_runs = n_runs + (sp >= 0).astype(jnp.int32)
 
-                n_dma = n_dma + have.astype(jnp.int32)
+        def wait_one(q, x):
+            pltpu.make_async_copy(src_hbm.at[pl.ds(0, 8)],
+                                  slots.at[0], sems.at[0]).wait()
+            return x
+        jax.lax.fori_loop(0, n_runs, wait_one, 0)
+        cpp.wait()
 
-            def wait_one(q, x):
-                pltpu.make_async_copy(src_hbm.at[pl.ds(0, 1)],
-                                      slots.at[pl.ds(0, 1)],
-                                      sems.at[0]).wait()
-                pltpu.make_async_copy(src_hbm.at[pl.ds(0, 1)],
-                                      slots.at[pl.ds(0, 1)],
-                                      sems.at[1]).wait()
-                return x
-            jax.lax.fori_loop(0, n_dma, wait_one, 0)
+        mode = tm[:, 0:1]
+        relbase = tm[:, 1:2]
+        seg = tm[:, 2:3]
+        orig = tm[:, 3:4]
+        subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
-            # per byte plane: owning segment, source byte, slot gather
-            word = jnp.zeros((8, 128), jnp.int32)
-            segf = jnp.maximum(seg, 1).astype(jnp.float32)
-            for k in range(4):
-                rel = relbase + 4 * lanes + k
-                si = jnp.clip((rel.astype(jnp.float32) / segf)
-                              .astype(jnp.int32), 0, 3)
-                si = jnp.where(rel - si * seg < 0, si - 1, si)
-                si = jnp.where(rel - (si + 1) * seg >= 0, si + 1, si)
-                si = jnp.clip(si, 0, 3)
-                within = rel - si * seg
-                sbase = jnp.zeros((8, 128), jnp.int32)
-                for q in range(4):
-                    sbase = jnp.where(si == q, ss[q], sbase)
-                src_byte = sbase + within
-                srow = src_byte >> 9
-                widx = (src_byte >> 2) & 127
-                # slot select: segment q's rows are at slots 2q/2q+1;
-                # parity = whether src row equals the staged r0 or r1
-                g = jnp.zeros((8, 128), jnp.int32)
-                for q in range(4):
-                    lo_q = jnp.maximum(relbase, q * seg)
-                    r0_q = (ss[q] + (lo_q - q * seg)) >> 9
-                    for p in range(2):
-                        rowv = jnp.broadcast_to(
-                            slots[pl.ds(2 * q + p, 1)], (8, 128))
-                        gq = jnp.take_along_axis(rowv, widx, axis=1)
-                        hit = (si == q) & ((srow == r0_q) == (p == 0))
-                        g = jnp.where(hit, gq, g)
-                byte = (_shr(g.astype(jnp.uint32),
-                             ((src_byte & 3) << 3)) & 255).astype(jnp.int32)
-                byte = jnp.where(rel < orig, byte, 0)
-                word = word | (byte << (8 * k))
+        word = jnp.zeros((8, 128), jnp.int32)
+        for k in range(4):
+            rel = relbase + 4 * lanes + k
+            # owning segment by boundary compares (no division): seg>=1
+            # for mode-1 rows; mode-0 rows produce garbage that the
+            # final mode select discards
+            si = ((rel >= seg).astype(jnp.int32)
+                  + (rel >= 2 * seg).astype(jnp.int32)
+                  + (rel >= 3 * seg).astype(jnp.int32))
+            si = jnp.minimum(si, 3)
+            sbase = jnp.zeros((8, 128), jnp.int32)
+            for q in range(4):
+                sbase = jnp.where(si == q, tm[:, 4 + q:5 + q], sbase)
+            src_byte = sbase + rel - si * seg
+            srow = src_byte >> 9
+            widx = (src_byte >> 2) & 127
+            g = jnp.zeros((8, 128), jnp.int32)
+            for p in range(8):
+                sp = tm[0, 8 + p]
+                gq = jnp.take_along_axis(slots[p], widx, axis=1)
+                hit = srow == (sp + subl)
+                g = jnp.where(hit, gq, g)
+            byte = (_shr(g.astype(jnp.uint32),
+                         ((src_byte & 3) << 3)) & 255).astype(jnp.int32)
+            byte = jnp.where(rel < orig, byte, 0)
+            word = word | (byte << (8 * k))
 
-            stage[pl.ds(0, 1)] = word[0:1]
-            cp = pltpu.make_async_copy(stage.at[pl.ds(0, 1)],
-                                       out_hbm.at[pl.ds(r, 1)], sems.at[2])
-            cp.start()
-            cp.wait()
+        ostage[...] = jnp.where(mode == 1, word, pstage[...])
+        cpo = pltpu.make_async_copy(ostage,
+                                    out_hbm.at[pl.ds(pid * 8, 8)],
+                                    sems.at[2])
+        cpo.start()
+        cpo.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("R", "interpret"),
                    donate_argnums=(2,))
 def _compact_call(tm, src, pool, R, interpret=False):
-    """tm: (ceil8(R), 128) i32 metadata; src: translate output
-    (out_rows, 128); pool: the lane pool with Huffman holes (DONATED —
-    mode-1 rows are overwritten in place, mode-0 rows pass through)."""
+    """tm: (R, 128) i32 metadata, R = pool rows (8-row padded by
+    build_fused_plan); src: translate output (out_rows, 128); pool: the
+    lane pool with Huffman holes (DONATED — mode-1 rows are overwritten
+    in place, mode-0 rows pass through via the aliased output)."""
     kernel = functools.partial(_compact_kernel, R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -142,8 +148,9 @@ def _compact_call(tm, src, pool, R, interpret=False):
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((8, 8, 128), jnp.int32),
             pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -238,26 +245,86 @@ def build_fused_plan(streams, spb=None, groups=None, hgroups=None):
     hb = prepare_huf128([(p[0], p[1]) for p in pend], groups=hg)
 
     C = lane.C
-    pool = lane.pool.copy()
-    R = pool.shape[0]
-    tm = np.zeros((((R + 7) // 8) * 8, 128), np.int32)
-    for (blob, orig, blk, kind), task in zip(pend, hb.tasks):
+    R0 = lane.pool.shape[0]
+    padR = ((R0 + 7) // 8) * 8        # full-tile DMAs need 8-row blocks
+    pool = np.zeros((padR, 128), lane.pool.dtype)
+    pool[:R0] = lane.pool
+    nblocks = padR // 8
+    src_rows = hb.out_rows            # prepare_huf128 pads >=8 guard rows
+
+    entries = []                      # (row0, rows, seg, orig, ss4, pi)
+    for pi, ((blob, orig, blk, kind), task) in enumerate(
+            zip(pend, hb.tasks)):
         s, cpos = lane.placement[blk]
         if kind == "flags":
             row0 = int(lane.meta[cpos, s])
         else:
             row0 = int(lane.meta[2 * C + cpos, s])
+        rows = (orig + 511) // 512
         if isinstance(task, tuple):          # RLE: host-materialized
             data = np.frombuffer(task[1], np.uint8)
-            rows = (orig + 511) // 512
             buf = np.zeros(rows * 512, np.uint8)
             buf[:orig] = data
             pool[row0:row0 + rows] = buf.view(np.int32).reshape(rows, 128)
             continue
-        segs = sorted(task)                   # [(si, srcrow0, n_out)]
+        segs = sorted(task)                  # [(si, srcrow0, n_out)]
         assert len(segs) == 4
         seg = (orig + 3) // 4
-        rows = (orig + 511) // 512
+        ss = [sg[1] * 512 for sg in segs]
+        entries.append((row0, rows, seg, orig, ss, pi))
+
+    # per-blob, per-block staged-run starts: segment k's source row for
+    # pool row r is r + ((ss[k]-k*seg)>>9) - row0 (+1 across the 512
+    # remainder), so each (block, segment) needs 1-2 runs of 8
+    # consecutive source rows whose j-th row serves sublane j
+    def blob_runs(row0, rows, seg, orig, ss):
+        out = {}
+        for q in range(rows):
+            pid = (row0 + q) // 8
+            lo_b, hi_b = q * 512, min(q * 512 + 512, orig)
+            for k in range(min(lo_b // seg, 3),
+                           min((hi_b - 1) // seg, 3) + 1):
+                a = ss[k] - k * seg
+                st = (a >> 9) - row0 + pid * 8
+                sts = out.setdefault(pid, set())
+                sts.add(st)
+                if a & 511:
+                    sts.add(st + 1)
+        return out
+
+    entry_runs = [blob_runs(row0, rows, seg, orig, ss)
+                  for (row0, rows, seg, orig, ss, _) in entries]
+    mat = set()      # entries host-materialized (blocks needing >8 runs
+    while True:      # or out-of-range runs: only tiny-blob pileups)
+        block_runs = [set() for _ in range(nblocks)]
+        block_blobs = [set() for _ in range(nblocks)]
+        for ei in range(len(entries)):
+            if ei in mat:
+                continue
+            for pid, sts in entry_runs[ei].items():
+                block_runs[pid] |= sts
+                block_blobs[pid].add(ei)
+        bad = [pid for pid in range(nblocks)
+               if len(block_runs[pid]) > 8
+               or any(st < 0 or st + 8 > src_rows
+                      for st in block_runs[pid])]
+        if not bad:
+            break
+        for pid in bad:
+            mat |= block_blobs[pid]
+
+    tm = np.zeros((padR, 128), np.int32)
+    tm[:, 8:16] = -1
+    if mat:
+        from lizard_tpu.ref.huf import huf_decompress
+    for ei, (row0, rows, seg, orig, ss, pi) in enumerate(entries):
+        if ei in mat:
+            data = np.frombuffer(huf_decompress(pend[pi][0], orig),
+                                 np.uint8)
+            buf = np.zeros(rows * 512, np.uint8)
+            buf[:orig] = data
+            pool[row0:row0 + rows] = buf.view(np.int32).reshape(rows, 128)
+            continue
         for q in range(rows):
             r = row0 + q
             tm[r, 0] = 1
@@ -265,7 +332,14 @@ def build_fused_plan(streams, spb=None, groups=None, hgroups=None):
             tm[r, 2] = seg
             tm[r, 3] = orig
             for k in range(4):
-                tm[r, 4 + k] = segs[k][1] * 512
+                tm[r, 4 + k] = ss[k]
+    for pid in range(nblocks):
+        sts = sorted(block_runs[pid])
+        if not sts:
+            continue
+        tm[pid * 8, 16] = 1
+        for p, st in enumerate(sts):
+            tm[pid * 8, 8 + p] = st
     return lane, batch, hb, tm, pool
 
 

@@ -604,7 +604,10 @@ def prepare_huf128(blobs, groups=8):
             blk += eps[k]
             out_cursor += eps[k] * 8
 
-    out_cursor = (out_cursor + TR_ROWS - 1) & ~(TR_ROWS - 1)
+    # +8 before aligning: >=8 guard rows past the last real output row so
+    # the fused compact kernel's 8-row staged-run DMAs (ops/fuse.py) can
+    # never read past the translate output
+    out_cursor = (out_cursor + 8 + TR_ROWS - 1) & ~(TR_ROWS - 1)
     while len(tmeta_rows) < out_cursor // 8:
         tmeta_rows.append(0)
     assert len(tmeta_rows) == out_cursor // 8
